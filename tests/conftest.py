@@ -5,7 +5,9 @@ Tests never need the real TPU; sharding tests emulate multi-chip with
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment exports JAX_PLATFORMS=axon (tunneled TPU); tests must run
+# on local CPU, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
