@@ -15,6 +15,7 @@ is expressed with an in-image mask so windows keep static shapes.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -84,6 +85,7 @@ def _np_boxsum(x: np.ndarray, radius: int) -> np.ndarray:
             - sat[y1[:, None], x0[None, :]] + sat[y0[:, None], x0[None, :]])
 
 
+@functools.partial(jax.jit, static_argnames=("radius",))
 def filter_windows(p: jnp.ndarray, guide: jnp.ndarray, mean: jnp.ndarray,
                    inv: jnp.ndarray, mask: jnp.ndarray,
                    radius: int) -> jnp.ndarray:

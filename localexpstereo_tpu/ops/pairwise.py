@@ -23,6 +23,8 @@ are batched over regions with ``jax.vmap``.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,7 @@ def _shifted(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
         axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("omega", "epsilon"))
 def smoothness_coeffs(image: jnp.ndarray, omega: float,
                       epsilon: float) -> jnp.ndarray:
     """Per-pixel pairwise weights for all 8 neighbors.
@@ -81,6 +84,7 @@ def _disp(labels: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
     return labels[..., 0] * xs + labels[..., 1] * ys + labels[..., 2]
 
 
+@functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
 def smoothness_cost(labeling: jnp.ndarray, coeffs: jnp.ndarray,
                     lambda_: float, tau: float) -> jnp.ndarray:
     """Full-image smoothness energy audit over the 4 forward neighbors
@@ -107,6 +111,7 @@ def smoothness_cost(labeling: jnp.ndarray, coeffs: jnp.ndarray,
     return total
 
 
+@functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
 def expansion_tables(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
                      coeff_fwd: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                      lambda_: float, tau: float):
@@ -158,6 +163,7 @@ def expansion_tables(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
     return jnp.stack(c00), jnp.stack(c01), jnp.stack(c10)
 
 
+@functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
 def boundary_tlinks(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
                     coeff_all: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                     lambda_: float, tau: float):
