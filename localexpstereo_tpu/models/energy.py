@@ -1,0 +1,217 @@
+"""Energy construction and the fused unary pipeline.
+
+Functional equivalents of the reference's ``StereoEnergy`` /
+``NaiveStereoEnergy`` / ``CostVolumeEnergy`` objects: all mutable C++ state
+becomes two pytrees —
+
+- :class:`EnergyData`: per-problem constant tensors (guide statistics,
+  pairwise weights, feature images / cost volumes), padded where windows are
+  sliced from them;
+- :class:`SolverState`: the evolving ``(labeling, cost)`` per view
+  (``PMStereoBase.h:44-49``).
+
+Everything is fixed-shape: windows are dynamic slices from margin-padded
+arrays; out-of-image pixels are handled by masks, never by clipping.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COST_FOR_INVALID, Parameters
+from ..ops import guided, pairwise, unary_volume, unary_warp, validity
+
+
+class EnergyData(NamedTuple):
+    """Constant tensors; leading axis V = views (L, R). Spatial arrays that
+    feed window slices are padded with margin ``pad`` on each side."""
+
+    guide: jnp.ndarray     # [V, Hp, Wp, 3] scaled guide (padded)
+    gf_mean: jnp.ndarray   # [V, Hp, Wp, 3]
+    gf_inv: jnp.ndarray    # [V, Hp, Wp, 6]
+    coeff8: jnp.ndarray    # [V, 8, Hp, Wp] pairwise weights (padded, 0 margin)
+    exi: Optional[jnp.ndarray]   # [V, H, W, 4] V2 feature images (unpadded)
+    vol: Optional[jnp.ndarray]   # [V, D, H, W] V3 cost volumes (unpadded)
+
+
+class SolverState(NamedTuple):
+    """Mutable optimization state (cf. ``currentLabeling_m_``/``currentCost_``)."""
+
+    labeling: jnp.ndarray  # [V, Hp, Wp, 4] padded, zero margin
+    cost: jnp.ndarray      # [V, Hp, Wp] padded, zero margin
+
+
+@dataclasses.dataclass(frozen=True)
+class EnergyConfig:
+    """Static (hashable) energy configuration."""
+
+    kind: str              # "naive" (V2 warp) or "volume" (V3)
+    width: int
+    height: int
+    pad: int
+    params: Parameters
+    min_disp: float
+    max_disp: float
+    max_vdisp: float = 0.0
+    interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
+
+
+def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
+                 params: Parameters, max_disp: float, pad: int,
+                 min_disp: float = 0.0, max_vdisp: float = 0.0,
+                 vol0: Optional[np.ndarray] = None,
+                 vol1: Optional[np.ndarray] = None,
+                 interp: int = 1):
+    """Builds (EnergyData, EnergyConfig) for one stereo pair.
+
+    Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
+    (``main.cpp:386``); otherwise the V2 ``NaiveStereoEnergy`` warp term.
+    """
+    h, w = im0_bgr.shape[:2]
+    kind = "volume" if vol0 is not None else "naive"
+    r = params.guided_radius
+
+    def pad_hw(arr, axes):
+        widths = [(0, 0)] * arr.ndim
+        for ax in axes:
+            widths[ax] = (pad, pad)
+        return np.pad(arr, widths)
+
+    guides, means, invs, coeffs = [], [], [], []
+    for im in (im0_bgr, im1_bgr):
+        stats = guided.compute_stats(im, r, params.filter_param1)
+        guides.append(pad_hw(np.asarray(stats.guide), (0, 1)))
+        means.append(pad_hw(np.asarray(stats.mean), (0, 1)))
+        invs.append(pad_hw(np.nan_to_num(np.asarray(stats.inv)), (0, 1)))
+        c8 = np.asarray(pairwise.smoothness_coeffs(
+            jnp.asarray(im), params.omega, params.epsilon))
+        coeffs.append(pad_hw(c8, (1, 2)))
+
+    exi = vol = None
+    if kind == "naive":
+        exi = jnp.asarray(np.stack([
+            unary_warp.build_feature_image(im0_bgr, params.alpha),
+            unary_warp.build_feature_image(im1_bgr, params.alpha)]))
+    else:
+        vol = jnp.asarray(np.stack([vol0, vol1]))
+
+    data = EnergyData(
+        guide=jnp.asarray(np.stack(guides)),
+        gf_mean=jnp.asarray(np.stack(means)),
+        gf_inv=jnp.asarray(np.stack(invs)),
+        coeff8=jnp.asarray(np.stack(coeffs)),
+        exi=exi,
+        vol=vol,
+    )
+    cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
+                       min_disp=min_disp, max_disp=max_disp,
+                       max_vdisp=max_vdisp, interp=interp)
+    return data, cfg
+
+
+def init_state(cfg: EnergyConfig, num_views: int = 2) -> SolverState:
+    hp = cfg.height + 2 * cfg.pad
+    wp = cfg.width + 2 * cfg.pad
+    return SolverState(
+        labeling=jnp.zeros((num_views, hp, wp, 4), jnp.float32),
+        cost=jnp.zeros((num_views, hp, wp), jnp.float32),
+    )
+
+
+# ------------------------------------------------------------ windowing ----
+
+def slice_windows(arr: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
+                  pad: int, off: int, size: int) -> jnp.ndarray:
+    """[N, size, size, ...] windows of a padded [Hp, Wp, ...] array whose
+    top-left sits at unpadded coords (ox + off, oy + off)."""
+    trailing = arr.shape[2:]
+
+    def one(o):
+        start = (o[1] + pad + off, o[0] + pad + off) + (0,) * len(trailing)
+        return jax.lax.dynamic_slice(arr, start, (size, size) + trailing)
+
+    return jax.vmap(one)(jnp.stack([ox, oy], -1))
+
+
+def slice_windows_leading(arr: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
+                          pad: int, off: int, size: int) -> jnp.ndarray:
+    """Like :func:`slice_windows` for [C, Hp, Wp] arrays -> [N, C, size, size]."""
+    c = arr.shape[0]
+
+    def one(o):
+        return jax.lax.dynamic_slice(
+            arr, (0, o[1] + pad + off, o[0] + pad + off), (c, size, size))
+
+    return jax.vmap(one)(jnp.stack([ox, oy], -1))
+
+
+def in_image_windows(cfg: EnergyConfig, ox: jnp.ndarray, oy: jnp.ndarray,
+                     off: int, size: int) -> jnp.ndarray:
+    """[N, size, size] float32 in-image mask of windows at (o + off)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    ys = oy[:, None, None] + off + iy[None]
+    xs = ox[:, None, None] + off + ix[None]
+    inside = ((xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height))
+    return inside.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- unary ----
+
+def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
+                  proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
+                  target_off: int, target_size: int) -> jnp.ndarray:
+    """Filtered unary costs of ``proposals`` over target windows.
+
+    Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
+    ``StereoEnergy.h:694-753``): raw matching cost on the filter window
+    (target + R margin), guided-filter aggregation, extraction of the target
+    portion, and the validity clamp to ``COST_FOR_INVALID``.
+
+    Args:
+      mode: 0 = left view, 1 = right (static).
+      ox, oy: [N] global coords of the regions' UNIT origin.
+      target_off: target window offset from the unit origin (-s for shared
+        windows, 0 for init-time unit windows).
+      target_size: side of the target window (3s or s).
+    Returns:
+      [N, T, T] float32 costs (0 outside the image).
+    """
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    foff = target_off - r
+    fox = ox + foff
+    foy = oy + foff
+
+    if cfg.kind == "volume":
+        raw = unary_volume.sample_windows(
+            data.vol[mode], proposals, fox, foy, fsize,
+            cfg.min_disp, cfg.max_disp, cfg.params.th_col, cfg.interp)
+    else:
+        raw = unary_warp.sample_windows(
+            data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,
+            1.0 if mode == 0 else -1.0, cfg.params.th_col,
+            cfg.params.th_grad, cfg.params.alpha)
+
+    if cfg.params.filter_name:
+        gwin = slice_windows(data.guide[mode], ox, oy, cfg.pad, foff, fsize)
+        mwin = slice_windows(data.gf_mean[mode], ox, oy, cfg.pad, foff, fsize)
+        iwin = slice_windows(data.gf_inv[mode], ox, oy, cfg.pad, foff, fsize)
+        fmask = in_image_windows(cfg, ox, oy, foff, fsize)
+        q = guided.filter_windows(raw, gwin, mwin, iwin, fmask, r)
+    else:
+        q = raw
+
+    q = q[:, r:r + target_size, r:r + target_size]
+
+    tox = ox + target_off
+    toy = oy + target_off
+    valid = validity.valid_windows(proposals, tox, toy, target_size,
+                                   cfg.min_disp, cfg.max_disp)
+    tmask = in_image_windows(cfg, ox, oy, target_off, target_size)
+    q = jnp.where(valid, q, COST_FOR_INVALID)
+    return q * tmask

@@ -1,0 +1,396 @@
+"""The local-expansion move engine (reference ``FastGCStereo`` +
+``PMStereoBase``).
+
+Schedule parity with ``FastGCStereo::run`` (``FastGCStereo.h:133-226``):
+
+  init (random label per layer-0 cell)                 -> initCurrentFast
+  pm_iterations sweeps with greedy acceptance          -> doGC = false
+  iterations sweeps with graph-cut acceptance          -> doGC = true
+  per sweep: views interleaved, layers coarse schedule, 16 colors sequential,
+  proposers [expansion, ransac, random] per region processed sequentially
+  (each proposal is evaluated against the region state updated by the
+  previous one).
+
+TPU re-design: one color set = ONE jitted dispatch (`color_step`) that runs
+the full proposal plan over every region of the color as fixed-shape batched
+tensor ops; the 16-color sequence replaces the reference's OpenMP fork
+(``FastGCStereo.h:30``). State updates write a dense per-color canvas with a
+single ``dynamic_update_slice`` — the color grid guarantees disjointness, so
+no scatters and no atomics are ever needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Parameters
+from ..ops import mincut, pairwise, plane as plane_ops
+from . import energy as energy_mod
+from . import grid, proposals
+
+# Proposal plan entries: ("expansion",), ("ransac",), ("random", decay_index).
+#: Layer proposer sets from the reference driver (``main.cpp:300-306``):
+#: layer 0 gets [Expansion(1), Ransac(1), Random(7)], coarser layers get
+#: [Expansion(2), Ransac(1)].
+LAYER0_PROPOSERS = ("expansion", "ransac", "random7")
+COARSE_PROPOSERS = ("expansion", "expansion", "ransac")
+
+
+def make_plan(proposer_names: Sequence[str], outer_iter: int,
+              min_disp: float, max_disp: float) -> Tuple[Tuple, ...]:
+    """Expands proposer names into a static per-step plan for one sweep."""
+    plan = []
+    for name in proposer_names:
+        if name == "expansion":
+            plan.append(("expansion",))
+        elif name == "ransac":
+            plan.append(("ransac",))
+        elif name == "random7":
+            k = proposals.random_proposal_count(7, outer_iter, min_disp,
+                                                max_disp)
+            plan.extend(("random", i) for i in range(k))
+        else:
+            raise ValueError(f"unknown proposer {name}")
+    return tuple(plan)
+
+
+def _to_canvas(x: jnp.ndarray, nby: int, nbx: int, s: int) -> jnp.ndarray:
+    """[N, 3s, 3s, ...] region tiles -> dense [nby*4s, nbx*4s, ...] canvas.
+
+    Shared windows of one color tile the canvas at stride 4s with an s gap
+    (see grid.py); the gap is zero-padded, which the accept-mask canvas turns
+    into no-ops."""
+    ss = 3 * s
+    trail = x.shape[3:]
+    x = x.reshape(nby, nbx, ss, ss, *trail)
+    pad = [(0, 0), (0, 0), (0, s), (0, s)] + [(0, 0)] * len(trail)
+    x = jnp.pad(x, pad)
+    x = jnp.moveaxis(x, 2, 1)                 # [nby, 4s, nbx, 4s, ...]
+    return x.reshape(nby * 4 * s, nbx * 4 * s, *trail)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
+                     "mode"))
+def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
+               labeling_m: jnp.ndarray, cost_m: jnp.ndarray,
+               ox: jnp.ndarray, oy: jnp.ndarray, rmask: jnp.ndarray,
+               cox: jnp.ndarray, coy: jnp.ndarray,
+               dzs: jnp.ndarray, nrs: jnp.ndarray, key: jax.Array,
+               *, unit_size: int, nbx: int, nby: int, plan: tuple,
+               do_gc: bool, mode: int):
+    """Runs the full proposal plan of one (layer, color) for one view.
+
+    Equivalent to the body of ``localExpansionMovesForLayer_CPU``
+    (``FastGCStereo.h:22-72``) for one disjoint set, with every region of the
+    set processed as one batch.
+
+    Args:
+      labeling_m, cost_m: padded per-view state [Hp, Wp, 4] / [Hp, Wp].
+      ox, oy, rmask: region unit origins + validity, [N = nbx * nby].
+      cox, coy: canvas origin in unpadded coords (traced scalars).
+      dzs, nrs: perturbation schedules for the "random" plan entries.
+    """
+    s = unit_size
+    ss = 3 * s
+    p = cfg.pad
+    cw = jnp.clip(cfg.width - ox, 1, s)
+    ch = jnp.clip(cfg.height - oy, 1, s)
+    tmask = energy_mod.in_image_windows(cfg, ox, oy, -s, ss) > 0
+    canvas_hw = (nby * 4 * s, nbx * 4 * s)
+    start2 = (coy + p, cox + p)
+
+    if do_gc:
+        coeff_win = energy_mod.slice_windows_leading(
+            data.coeff8[mode], ox, oy, p, -s, ss)      # [N, 8, S, S]
+        coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
+        lam = cfg.params.lambda_
+        tau = cfg.params.th_smooth
+
+    for idx, step in enumerate(plan):
+        k = jax.random.fold_in(key, idx)
+        cell_labels = energy_mod.slice_windows(labeling_m, ox, oy, p, 0, s)
+        if step[0] == "expansion":
+            props = proposals.expansion(k, cell_labels, ox, oy, cw, ch)
+        elif step[0] == "ransac":
+            props = proposals.ransac(k, cell_labels, ox, oy, cw, ch)
+        else:
+            di = step[1]
+            props = proposals.random_perturbation(
+                k, cell_labels, ox, oy, cw, ch, dzs[di], nrs[di],
+                cfg.min_disp, cfg.max_disp, cfg.max_vdisp)
+
+        pcost = energy_mod.unary_windows(data, cfg, mode, props, ox, oy,
+                                         -s, ss)
+        ccost = energy_mod.slice_windows(cost_m, ox, oy, p, -s, ss)
+
+        if do_gc:
+            halo = energy_mod.slice_windows(labeling_m, ox, oy, p, -s - 1,
+                                            ss + 2)
+            tox = (ox - s).astype(jnp.float32)
+            toy = (oy - s).astype(jnp.float32)
+            c00, c01, c10 = jax.vmap(
+                lambda hl, pr, cf, x0, y0: pairwise.expansion_tables(
+                    hl, pr, cf, x0, y0, lam, tau)
+            )(halo, props, coeff_fwd, tox, toy)
+            t0b, t1b = jax.vmap(
+                lambda hl, pr, cf, x0, y0: pairwise.boundary_tlinks(
+                    hl, pr, cf, x0, y0, lam, tau)
+            )(halo, props, coeff_win, tox, toy)
+            accept = mincut.mincut_accept(ccost + t0b, pcost + t1b,
+                                          c00, c01, c10)
+            # Monotonicity guard (cf. FastGCStereo.h:561-594): reject any
+            # region whose move would not decrease its energy.
+            delta = mincut.move_energy_delta(accept, ccost + t0b,
+                                             pcost + t1b, c00, c01, c10)
+            accept &= (delta <= 0.0)[:, None, None]
+        else:
+            accept = mincut.greedy_accept(ccost, pcost)
+
+        accept &= tmask & rmask[:, None, None]
+
+        # ---- dense canvas update (one dynamic_update_slice per array) ----
+        acc_c = _to_canvas(accept, nby, nbx, s)
+        cost_c = _to_canvas(pcost, nby, nbx, s)
+        lab_tiles = jnp.broadcast_to(props[:, None, None, :],
+                                     (props.shape[0], ss, ss, 4))
+        lab_c = _to_canvas(lab_tiles, nby, nbx, s)
+
+        cur_cost = jax.lax.dynamic_slice(cost_m, start2, canvas_hw)
+        cost_m = jax.lax.dynamic_update_slice(
+            cost_m, jnp.where(acc_c, cost_c, cur_cost), start2)
+        cur_lab = jax.lax.dynamic_slice(labeling_m, start2 + (0,),
+                                        canvas_hw + (4,))
+        labeling_m = jax.lax.dynamic_update_slice(
+            labeling_m, jnp.where(acc_c[..., None], lab_c, cur_lab),
+            start2 + (0,))
+
+    return labeling_m, cost_m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "unit_size", "mode"))
+def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
+              key: jax.Array, *, unit_size: int, mode: int):
+    """Random per-cell initialization (``initCurrentFast``,
+    ``FastGCStereo.h:94-115``): one random label at a random pixel of each
+    layer-0 cell, assigned cell-wide, unary evaluated on cell + R."""
+    s = unit_size
+    p = cfg.pad
+    wb = -(-cfg.width // s)
+    hb = -(-cfg.height // s)
+    n = wb * hb
+    jj = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1).reshape(-1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0).reshape(-1)
+    ox = jj * s
+    oy = ii * s
+    cw = jnp.clip(cfg.width - ox, 1, s)
+    ch = jnp.clip(cfg.height - oy, 1, s)
+
+    kp, kl = jax.random.split(key)
+    xx, yy = proposals._cell_pixel(kp, ox, oy, cw, ch)
+    gx = (ox + xx).astype(jnp.float32)
+    gy = (oy + yy).astype(jnp.float32)
+    labels = plane_ops.random_label(kl, gx, gy, cfg.min_disp, cfg.max_disp,
+                                    cfg.max_vdisp)
+
+    cost = energy_mod.unary_windows(data, cfg, mode, labels, ox, oy, 0, s)
+
+    # Cells tile the image exactly (stride s): one dense update.
+    hp = cfg.height + 2 * p
+    wp = cfg.width + 2 * p
+    mask = energy_mod.in_image_windows(cfg, ox, oy, 0, s) > 0
+    cost_c = _init_canvas(cost, hb, wb, s)
+    lab_tiles = jnp.broadcast_to(labels[:, None, None, :], (n, s, s, 4))
+    lab_c = _init_canvas(lab_tiles, hb, wb, s)
+    mask_c = _init_canvas(mask, hb, wb, s)
+
+    labeling_m = jnp.zeros((hp, wp, 4), jnp.float32)
+    cost_m = jnp.zeros((hp, wp), jnp.float32)
+    cur = jax.lax.dynamic_slice(cost_m, (p, p), (hb * s, wb * s))
+    cost_m = jax.lax.dynamic_update_slice(
+        cost_m, jnp.where(mask_c, cost_c, cur), (p, p))
+    curl = jax.lax.dynamic_slice(labeling_m, (p, p, 0), (hb * s, wb * s, 4))
+    labeling_m = jax.lax.dynamic_update_slice(
+        labeling_m, jnp.where(mask_c[..., None], lab_c, curl), (p, p, 0))
+    return labeling_m, cost_m
+
+
+def _init_canvas(x: jnp.ndarray, hb: int, wb: int, s: int) -> jnp.ndarray:
+    trail = x.shape[3:]
+    x = x.reshape(hb, wb, s, s, *trail)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(hb * s, wb * s, *trail)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def energy_audit(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
+                 labeling_m: jnp.ndarray, cost_m: jnp.ndarray, mode):
+    """(total, data, smooth) energy of a view (``Evaluator.h:119-121``)."""
+    p = cfg.pad
+    lab = labeling_m[p:p + cfg.height, p:p + cfg.width]
+    cost = cost_m[p:p + cfg.height, p:p + cfg.width]
+    coeffs = jax.lax.dynamic_slice(
+        data.coeff8, (mode, 0, p, p), (1, 8, cfg.height, cfg.width))[0]
+    sc = pairwise.smoothness_cost(lab, coeffs, cfg.params.lambda_,
+                                  cfg.params.th_smooth)
+    dc = jnp.sum(cost)
+    return dc + sc, dc, sc
+
+
+class LocalExpansionSolver:
+    """Host-side orchestration (the reference's ``FastGCStereo`` object)."""
+
+    def __init__(self, im0_bgr: np.ndarray, im1_bgr: np.ndarray,
+                 params: Parameters, max_disp: float, min_disp: float = 0.0,
+                 max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
+                 vol1: Optional[np.ndarray] = None, seed: int = 0,
+                 interp: int = 1):
+        self.im0 = np.asarray(im0_bgr, np.float32)
+        self.im1 = np.asarray(im1_bgr, np.float32)
+        self.params = params
+        self.max_disp = float(max_disp)
+        self.min_disp = float(min_disp)
+        self.max_vdisp = float(max_vdisp)
+        self.vol0 = vol0
+        self.vol1 = vol1
+        self.interp = interp
+        self.seed = seed
+        self.unit_sizes: List[int] = []
+        self.layer_proposers: List[Tuple[str, ...]] = []
+        self.evaluator = None
+        self.data = None
+        self.cfg = None
+        self.layers: List[grid.Layer] = []
+
+    def add_layer(self, unit_size: int, proposer_names: Sequence[str]):
+        """cf. ``FastGCStereo::addLayer`` (``FastGCStereo.h:88-92``)."""
+        self.unit_sizes.append(int(unit_size))
+        self.layer_proposers.append(tuple(proposer_names))
+
+    def set_evaluator(self, evaluator):
+        self.evaluator = evaluator
+
+    def finalize(self):
+        if self.data is not None:
+            return
+        h, w = self.im0.shape[:2]
+        pad = grid.required_padding(self.unit_sizes, self.params.windR)
+        self.layers = grid.build_layers(w, h, self.unit_sizes)
+        self.data, self.cfg = energy_mod.build_energy(
+            self.im0, self.im1, self.params, self.max_disp, pad,
+            self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp)
+
+    # ------------------------------------------------------------- sweeps --
+
+    def _sweep(self, state_m, mode: int, outer_iter: int, do_gc: bool,
+               key: jax.Array):
+        """One full sweep over all layers and colors for one view."""
+        labeling_m, cost_m = state_m
+        for li, layer in enumerate(self.layers):
+            plan = make_plan(self.layer_proposers[li], outer_iter,
+                             self.min_disp, self.max_disp)
+            n_random = sum(1 for st in plan if st[0] == "random")
+            dzs = np.asarray([
+                (self.max_disp - self.min_disp) * 0.5 ** (outer_iter + i + 1)
+                for i in range(max(n_random, 1))], np.float32)
+            nrs = np.asarray([0.5 ** (outer_iter + i)
+                              for i in range(max(n_random, 1))], np.float32)
+            for ci, (i0, j0) in enumerate(layer.colors):
+                ox, oy, rmask = layer.color_regions(i0, j0)
+                cox, coy = layer.canvas_origin(i0, j0)
+                k = jax.random.fold_in(key, li * 100 + ci)
+                labeling_m, cost_m = color_step(
+                    self.data, self.cfg, labeling_m, cost_m,
+                    jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(rmask),
+                    jnp.int32(cox), jnp.int32(coy),
+                    jnp.asarray(dzs), jnp.asarray(nrs), k,
+                    unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
+                    plan=plan, do_gc=do_gc, mode=mode)
+        return labeling_m, cost_m
+
+    # --------------------------------------------------------------- run --
+
+    def run(self, iterations: int, view_modes: Sequence[int] = (0, 1),
+            pm_iterations: int = 0):
+        """Full optimization (cf. ``FastGCStereo::run``). Returns
+        (labeling, raw_labeling) as unpadded [H, W, 4] numpy arrays of the
+        left view (plus the internal state for inspection)."""
+        self.finalize()
+        cfg = self.cfg
+        root = jax.random.PRNGKey(self.seed)
+        state = {}
+        for mode in view_modes:
+            k = jax.random.fold_in(root, 1000 + mode)
+            state[mode] = init_step(self.data, cfg, k,
+                                    unit_size=self.layers[0].unit_size,
+                                    mode=mode)
+            self._evaluate(state, mode, index=0)
+        if self.evaluator is not None:
+            self.evaluator.start()
+
+        step = 0
+        for it in range(pm_iterations):
+            for mode in view_modes:
+                k = jax.random.fold_in(root, 2000 + step)
+                step += 1
+                state[mode] = self._sweep(state[mode], mode, it, False, k)
+                self._evaluate(state, mode, index=it + 1)
+
+        for it in range(iterations):
+            for mode in view_modes:
+                k = jax.random.fold_in(root, 3000 + step)
+                step += 1
+                state[mode] = self._sweep(state[mode], mode, it, True, k)
+                self._evaluate(state, mode, index=it + 1 + pm_iterations)
+
+        raw = self._unpadded_labeling(state, 0)
+        if len(view_modes) == 2:
+            from . import postprocess
+            lab_l = self._unpadded_labeling(state, 0)
+            lab_r = self._unpadded_labeling(state, 1)
+            lab_l, lab_r = postprocess.post_process(
+                lab_l, lab_r, self.im0, self.im1, self.params,
+                threshold=1.5)
+            state[0] = self._set_unpadded_labeling(state[0], lab_l)
+            state[1] = self._set_unpadded_labeling(state[1], lab_r)
+            final = lab_l
+            self._evaluate(state, 0, index=iterations + 1 + pm_iterations)
+            if 1 in state:
+                self._evaluate(state, 1,
+                               index=iterations + 1 + pm_iterations)
+        else:
+            final = raw
+        if self.evaluator is not None:
+            self.evaluator.stop()
+        self._state = state
+        return np.asarray(final), np.asarray(raw)
+
+    # ------------------------------------------------------------ helpers --
+
+    def _unpadded_labeling(self, state, mode):
+        p = self.cfg.pad
+        lab = state[mode][0][p:p + self.cfg.height, p:p + self.cfg.width]
+        return jnp.asarray(lab)
+
+    def _set_unpadded_labeling(self, state_m, lab):
+        labeling_m, cost_m = state_m
+        p = self.cfg.pad
+        labeling_m = labeling_m.at[p:p + self.cfg.height,
+                                   p:p + self.cfg.width].set(lab)
+        return labeling_m, cost_m
+
+    def _evaluate(self, state, mode, index):
+        if self.evaluator is None:
+            return
+        labeling_m, cost_m = state[mode]
+        self.evaluator.evaluate(self, labeling_m, cost_m, mode=mode,
+                                index=index)
+
+    def disparity_map(self, mode: int = 0) -> np.ndarray:
+        lab = self._unpadded_labeling(self._state, mode)
+        return np.asarray(plane_ops.disparity_map(lab))

@@ -13,15 +13,17 @@ clipped by the in-image mask rather than merged (the reference's merge rule,
 ``LayerManager.h:88-165``, exists only to avoid tiny ragged cells — masking
 achieves the same without dynamic shapes).
 
-Regions are grouped into the same 16 disjoint color sets
-``(i % 4) * 4 + (j % 4)`` (``LayerManager.h:168-173``): same-color shared
-windows are 4s apart and 3s wide, hence always >= s apart — scatters never
-collide, which is what makes one color = one batched device dispatch.
+Regions are grouped into the 16 disjoint color sets ``(i % 4) * 4 + (j % 4)``
+(``LayerManager.h:168-173``). The cells of one color form a REGULAR grid with
+stride 4s, and their 3s shared windows are separated by s — so a whole color
+set updates as one dense canvas ``[nby * 4s, nbx * 4s]`` written with a single
+``dynamic_update_slice`` (no scatters, no collisions). Every color of a layer
+is padded to the same ``(nby_max, nbx_max)`` so a layer compiles exactly once.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
@@ -31,63 +33,81 @@ class Layer:
     """Static geometry of one expansion layer."""
 
     unit_size: int               # s
-    shared_size: int             # 3s
-    filter_size: int             # 3s + 2R
-    width_blocks: int
-    height_blocks: int
-    # Per color set c (always padded to `max_per_color` with mask=False):
-    #   origins[c]: [N, 2] int32 (x, y) of the UNIT window's top-left,
-    #   mask[c]:    [N] bool, True for real regions.
-    color_origins: tuple         # tuple of np.ndarray [N, 2]
-    color_mask: tuple            # tuple of np.ndarray [N]
-    proposers: tuple = ()        # attached by the engine (names)
+    width_blocks: int            # ceil(W / s)
+    height_blocks: int           # ceil(H / s)
+    nbx: int                     # max cells of one color along x = ceil(wb/4)
+    nby: int                     # max cells of one color along y
 
     @property
-    def num_colors(self) -> int:
-        return len(self.color_origins)
+    def shared_size(self) -> int:
+        return 3 * self.unit_size
+
+    def filter_size(self, window_radius: int) -> int:
+        return 3 * self.unit_size + 2 * window_radius
+
+    @property
+    def num_regions(self) -> int:
+        """Regions per (padded) color set."""
+        return self.nbx * self.nby
+
+    @property
+    def colors(self) -> List[Tuple[int, int]]:
+        """(i0, j0) color offsets that contain at least one cell, in the
+        reference's scheduling order j = (i%4)*4 + (j%4)."""
+        out = []
+        for i0 in range(min(4, self.height_blocks)):
+            for j0 in range(min(4, self.width_blocks)):
+                out.append((i0, j0))
+        return out
+
+    def color_regions(self, i0: int, j0: int):
+        """Region origins of color (i0, j0), padded to ``num_regions``.
+
+        Returns:
+          ox, oy: [N] int32 global coords of each region's UNIT origin,
+          mask:   [N] bool, False for grid slots beyond the image.
+        """
+        s = self.unit_size
+        ks = np.arange(self.nbx)
+        ms = np.arange(self.nby)
+        jj = j0 + 4 * ks                      # cell column indices
+        ii = i0 + 4 * ms
+        ox = (jj[None, :] * s).repeat(self.nby, 0)
+        oy = (ii[:, None] * s).repeat(self.nbx, 1)
+        mask = ((jj[None, :] < self.width_blocks)
+                & (ii[:, None] < self.height_blocks))
+        return (ox.reshape(-1).astype(np.int32),
+                oy.reshape(-1).astype(np.int32), mask.reshape(-1))
+
+    def canvas_origin(self, i0: int, j0: int):
+        """Unpadded global coords of the color's update canvas top-left: the
+        canvas tiles the shared windows (each 3s with an s gap) starting one
+        cell above/left of the color's first cell."""
+        s = self.unit_size
+        return (j0 - 1) * s, (i0 - 1) * s
+
+    @property
+    def canvas_shape(self):
+        t = 4 * self.unit_size
+        return self.nby * t, self.nbx * t
 
 
-def build_layer(width: int, height: int, unit_size: int,
-                window_radius: int) -> Layer:
-    """Builds the region grid for one layer (cf. ``LayerManager::addLayer``)."""
+def build_layer(width: int, height: int, unit_size: int) -> Layer:
     s = int(unit_size)
     assert s >= 1
     wb = -(-width // s)
     hb = -(-height // s)
-
-    buckets: List[List[tuple]] = [[] for _ in range(16)]
-    for i in range(hb):
-        for j in range(wb):
-            buckets[(i % 4) * 4 + (j % 4)].append((j * s, i * s))
-
-    buckets = [b for b in buckets if b]
-    max_n = max(len(b) for b in buckets)
-    origins, masks = [], []
-    for b in buckets:
-        arr = np.zeros((max_n, 2), np.int32)
-        msk = np.zeros(max_n, bool)
-        arr[:len(b)] = np.asarray(b, np.int32)
-        msk[:len(b)] = True
-        origins.append(arr)
-        masks.append(msk)
-
-    return Layer(
-        unit_size=s,
-        shared_size=3 * s,
-        filter_size=3 * s + 2 * window_radius,
-        width_blocks=wb,
-        height_blocks=hb,
-        color_origins=tuple(origins),
-        color_mask=tuple(masks),
-    )
+    return Layer(unit_size=s, width_blocks=wb, height_blocks=hb,
+                 nbx=-(-wb // 4), nby=-(-hb // 4))
 
 
-def build_layers(width: int, height: int, unit_sizes: List[int],
-                 window_radius: int) -> List[Layer]:
-    return [build_layer(width, height, s, window_radius) for s in unit_sizes]
+def build_layers(width: int, height: int, unit_sizes) -> List[Layer]:
+    return [build_layer(width, height, s) for s in unit_sizes]
 
 
-def required_padding(layers: List[Layer], window_radius: int) -> int:
-    """Margin needed so every shared/filter window slice of every layer stays
-    in bounds of the padded global arrays (+1 for the pairwise halo)."""
-    return max(l.unit_size for l in layers) + window_radius + 1
+def required_padding(unit_sizes, window_radius: int) -> int:
+    """Margin for the padded global arrays: the update canvas of the largest
+    layer can extend up to ~6s beyond the image on the right/bottom, and
+    filter windows need s + R + 1 on the left/top."""
+    s_max = max(unit_sizes)
+    return max(6 * s_max, 2 * s_max + window_radius + 2)

@@ -1,0 +1,167 @@
+"""Dual-view post-processing (reference ``PMStereoBase.h:111-256``):
+left-right consistency check, horizontal nearest-neighbor hole filling, and
+joint-bilateral weighted-median label replacement at failed pixels.
+
+The consistency check and hole fill are fully vectorized (prefix scans); the
+weighted median sorts the 41x41 plane-disparity patches of failed pixels only.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Parameters
+from ..ops import plane as plane_ops
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def consistency_check(disp_l: jnp.ndarray, disp_r: jnp.ndarray,
+                      threshold: float = 1.5):
+    """Round-trip check (``PMStereoBase.h:111-144``): for each view, look up
+    the other view at ``round(x - sign * d)``; fail=255 on mismatch
+    > threshold, fail=128 when the reprojection leaves the image."""
+    h, w = disp_l.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def one(disp_a, disp_b, sign):
+        rx = jnp.floor(xs - disp_a * sign + 0.5).astype(jnp.int32)
+        inside = (rx >= 0) & (rx < w)
+        rxc = jnp.clip(rx, 0, w - 1)
+        d_b = jnp.take_along_axis(disp_b, rxc, axis=1)
+        fail = jnp.where(inside,
+                         jnp.where(jnp.abs(d_b - disp_a) > threshold, 255, 0),
+                         128)
+        return fail.astype(jnp.uint8)
+
+    return one(disp_l, disp_r, 1.0), one(disp_r, disp_l, -1.0)
+
+
+def _dilate3(fail: jnp.ndarray) -> jnp.ndarray:
+    """3x3 binary dilation (``cv::dilate`` with the default kernel)."""
+    f = fail.astype(jnp.float32)
+    f = jnp.pad(f, 1)
+    out = jnp.zeros_like(fail, dtype=jnp.float32)
+    h, w = fail.shape
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            out = jnp.maximum(out, jax.lax.dynamic_slice(f, (dy, dx), (h, w)))
+    return out > 0
+
+
+@jax.jit
+def fill_holes(labeling: jnp.ndarray, fail: jnp.ndarray,
+               fail2: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal nearest-valid fill (``PMStereoBase.h:169-202``).
+
+    For each failed pixel, scan left and right for the nearest pixel with
+    ``fail2 == 0`` (the dilated mask) and adopt the label of the side whose
+    plane yields the LOWER disparity at the pixel (background bias).
+    """
+    h, w = labeling.shape[:2]
+    ok = ~fail2                                   # [H, W] bool
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    left_idx = jax.lax.cummax(jnp.where(ok, idx, -1), axis=1)
+    right_raw = jnp.where(ok, idx, w)
+    right_idx = jnp.flip(
+        jax.lax.cummin(jnp.flip(right_raw, axis=1), axis=1), axis=1)
+
+    def grab(indices):
+        safe = jnp.clip(indices, 0, w - 1)
+        return jnp.take_along_axis(labeling, safe[..., None], axis=1)
+
+    lab_l = grab(left_idx)
+    lab_r = grab(right_idx)
+    xs = idx.astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    d_l = plane_ops.disparity_at(lab_l, xs, ys)
+    d_r = plane_ops.disparity_at(lab_r, xs, ys)
+
+    has_l = left_idx >= 0
+    has_r = right_idx < w
+    use_l = has_l & ((~has_r) | (d_l < d_r))
+    use_r = has_r & (~use_l)
+    filled = jnp.where(use_l[..., None], lab_l,
+                       jnp.where(use_r[..., None], lab_r, labeling))
+    return jnp.where(fail[..., None], filled, labeling)
+
+
+def weighted_median_at(labeling: np.ndarray, image_bgr: np.ndarray,
+                       fail: np.ndarray, wind_r: int, omega: float):
+    """Joint-bilateral weighted median of plane disparities at failed pixels
+    (``PMStereoBase.h:210-252``); returns the repaired labeling.
+
+    The patch weight is ``exp(-||I(p) - I(q)||_1 / omega)``
+    (``computePatchWeight``, ``StereoEnergy.h:250-256``). Runs the sort-based
+    median on the failed pixels only (host gathers the index list once).
+    """
+    h, w = labeling.shape[:2]
+    ys, xs = np.nonzero(fail)
+    if ys.size == 0:
+        return labeling
+    k = 2 * wind_r + 1
+    n = ys.size
+    # Pad to a bucketed size to limit recompiles across calls.
+    bucket = 1 << int(np.ceil(np.log2(max(n, 1024))))
+    pad = bucket - n
+    ys_p = np.pad(ys, (0, pad)).astype(np.int32)
+    xs_p = np.pad(xs, (0, pad)).astype(np.int32)
+
+    out = _weighted_median_kernel(
+        jnp.asarray(labeling), jnp.asarray(image_bgr, jnp.float32),
+        jnp.asarray(ys_p), jnp.asarray(xs_p), k, float(omega))
+    out = np.asarray(out)[:n]
+    repaired = np.array(labeling)
+    repaired[ys, xs] = out
+    return repaired
+
+
+@functools.partial(jax.jit, static_argnames=("k", "omega"))
+def _weighted_median_kernel(labeling, image, ys, xs, k: int, omega: float):
+    h, w = labeling.shape[:2]
+    r = k // 2
+
+    def one(y, x):
+        oy = y - r
+        ox = x - r
+        iy = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) + oy
+        ix = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1) + ox
+        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        iyc = jnp.clip(iy, 0, h - 1)
+        ixc = jnp.clip(ix, 0, w - 1)
+        flat = iyc * w + ixc
+        labs = labeling.reshape(-1, 4)[flat.reshape(-1)]          # [k*k, 4]
+        center = image[y, x]
+        patch = image.reshape(-1, 3)[flat.reshape(-1)]
+        wgt = jnp.exp(-jnp.sum(jnp.abs(patch - center), -1) / omega)
+        wgt = wgt * inside.reshape(-1)
+        d_at_p = (labs[:, 0] * x + labs[:, 1] * y + labs[:, 2])
+        order = jnp.argsort(d_at_p)
+        wgt_sorted = wgt[order]
+        csum = jnp.cumsum(wgt_sorted)
+        half = jnp.sum(wgt) / 2.0
+        pick = jnp.argmax(csum > half)
+        return labs[order[pick]]
+
+    return jax.vmap(one)(ys, xs)
+
+
+def post_process(lab_l, lab_r, im0_bgr, im1_bgr, params: Parameters,
+                 threshold: float = 1.0):
+    """Full dual-view post-processing pipeline (``PMStereoBase.h:146-256``)."""
+    disp_l = plane_ops.disparity_map(lab_l)
+    disp_r = plane_ops.disparity_map(lab_r)
+    fail_l, fail_r = consistency_check(disp_l, disp_r, threshold)
+    out = []
+    for lab, fail_u8, im in ((lab_l, fail_l, im0_bgr),
+                             (lab_r, fail_r, im1_bgr)):
+        fail = np.asarray(fail_u8) > 0
+        fail2 = np.asarray(_dilate3(jnp.asarray(fail)))
+        filled = fill_holes(lab, jnp.asarray(fail), jnp.asarray(fail2))
+        repaired = weighted_median_at(np.asarray(filled), np.asarray(im),
+                                      fail, params.windR, params.omega)
+        out.append(jnp.asarray(repaired))
+    return out[0], out[1]

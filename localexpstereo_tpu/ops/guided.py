@@ -114,7 +114,8 @@ def filter_windows(p: jnp.ndarray, guide: jnp.ndarray, mean: jnp.ndarray,
     stacked = jnp.concatenate([p0[:, None], p0[:, None] * gi], axis=1)
     sums = boxfilter.boxsum2d(stacked, radius)           # [N, 4, F, F]
     mean_p = sums[:, 0] * inv_n
-    cov = sums[:, 1:] * inv_n - jnp.moveaxis(mean, -1, 1) * mean_p[:, None]
+    cov = (sums[:, 1:] * inv_n[:, None]
+           - jnp.moveaxis(mean, -1, 1) * mean_p[:, None])
 
     ir, ig, ib = cov[:, 0], cov[:, 1], cov[:, 2]
     a_r = inv[..., 0] * ir + inv[..., 1] * ig + inv[..., 2] * ib
