@@ -17,6 +17,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import pathlib
 import sys
 
+# Persistent compilation cache: kernel compiles (notably the push-relabel
+# while-loop) dominate CPU test time otherwise.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
