@@ -1,0 +1,192 @@
+"""Command-line driver mirroring the reference CLI (``main.cpp:425-480``).
+
+Flags preserved (``main.cpp:33-50``): ``-mode -targetDir -outputDir -doDual
+-iterations -pmIterations -ndisp -smooth_weight -filterRadious -mc_threshold
+-threadNum`` (note: the reference's flag is the misspelled ``filterRadious``;
+we accept both spellings). Both ``-name value`` (reference style) and
+``--name value`` are accepted.
+
+Modes:
+  MiddV2: image-based data term, layers {5, 15, 25}px, error threshold 0.5,
+          GT precision quantization (``main.cpp:270-329``).
+  MiddV3: MC-CNN cost-volume data term from ``im0.acrt``/``im1.acrt``,
+          layers {1%, 3%, 9%} of width, error threshold 1.0 (x0.5 Q, x2 F)
+          (``main.cpp:331-421``).
+
+Outputs: ``disp0.pfm`` (+ ``disp0raw.pfm`` when -doDual), ``time.txt``,
+``debug/`` with per-iteration images and ``log_output.txt``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import PARAMS_GF, Options
+from ..models.engine import LAYER0_PROPOSERS, COARSE_PROPOSERS, \
+    LocalExpansionSolver
+from ..models.evaluator import Evaluator
+from ..utils import acrt, datasets, pfm
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Options:
+    # Accept the reference's single-dash long flags by normalizing to --.
+    argv = list(sys.argv[1:] if argv is None else argv)
+    norm = []
+    for a in argv:
+        if a.startswith("-") and not a.startswith("--") and len(a) > 2 \
+                and not a[1].isdigit():
+            norm.append("-" + a)
+        else:
+            norm.append(a)
+
+    ap = argparse.ArgumentParser(
+        prog="localexpstereo_tpu",
+        description="TPU-native Local Expansion Stereo")
+    ap.add_argument("--mode", default="", choices=["", "MiddV2", "MiddV3"])
+    ap.add_argument("--targetDir", default="")
+    ap.add_argument("--outputDir", default="")
+    ap.add_argument("--doDual", type=int, default=0)
+    ap.add_argument("--iterations", type=int, default=5)
+    ap.add_argument("--pmIterations", type=int, default=2)
+    ap.add_argument("--ndisp", type=int, default=0)
+    ap.add_argument("--smooth_weight", type=float, default=None)
+    ap.add_argument("--filterRadious", "--filterRadius", type=int,
+                    dest="filterRadious", default=20)
+    ap.add_argument("--mc_threshold", type=float, default=0.5)
+    ap.add_argument("--threadNum", type=int, default=-1)
+    ap.add_argument("--seed", type=int, default=0)
+    ns = ap.parse_args(norm)
+
+    return Options(
+        mode=ns.mode, output_dir=ns.outputDir, target_dir=ns.targetDir,
+        iterations=ns.iterations, pm_iterations=ns.pmIterations,
+        do_dual=bool(ns.doDual), ndisp=ns.ndisp,
+        smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
+        filter_radius=ns.filterRadious, thread_num=ns.threadNum,
+        seed=ns.seed)
+
+
+def print_options(opt: Options):
+    print("----------- parameter settings -----------")
+    for name, val in [("mode", opt.mode), ("outputDir", opt.output_dir),
+                      ("targetDir", opt.target_dir),
+                      ("doDual", int(opt.do_dual)),
+                      ("pmIterations", opt.pm_iterations),
+                      ("iterations", opt.iterations), ("ndisp", opt.ndisp),
+                      ("filterRadious", opt.filter_radius),
+                      ("smooth_weight", opt.resolve_smooth_weight()),
+                      ("mc_threshold", opt.mc_threshold),
+                      ("seed", opt.seed)]:
+        print(f"{name:<15}: {val}")
+
+
+def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
+    params = PARAMS_GF.replace(
+        windR=opt.filter_radius, lambda_=opt.resolve_smooth_weight())
+    if vols is not None:
+        params = params.replace(th_col=opt.mc_threshold)
+        solver = LocalExpansionSolver(
+            pair.im0, pair.im1, params, pair.max_disparity,
+            vol0=vols[0], vol1=vols[1], seed=opt.seed)
+    else:
+        solver = LocalExpansionSolver(pair.im0, pair.im1, params,
+                                      pair.max_disparity, seed=opt.seed)
+    solver.add_layer(layers[0], LAYER0_PROPOSERS)
+    for sz in layers[1:]:
+        solver.add_layer(sz, COARSE_PROPOSERS)
+    return solver
+
+
+def _run(solver: LocalExpansionSolver, pair, opt: Options,
+         error_thresh: float, gt_precision: float):
+    out_dir = opt.output_dir or "."
+    debug_dir = os.path.join(out_dir, "debug")
+    os.makedirs(debug_dir, exist_ok=True)
+
+    ev = Evaluator(pair.disp_gt, pair.nonocc,
+                   255.0 / max(pair.max_disparity, 1e-6),
+                   header="result", save_dir=debug_dir)
+    ev.set_precision(gt_precision)
+    ev.set_error_threshold(error_thresh)
+    solver.set_evaluator(ev)
+
+    modes = (0, 1) if opt.do_dual else (0,)
+    labeling, raw = solver.run(opt.iterations, modes, opt.pm_iterations)
+
+    from ..ops import plane as plane_ops
+    import jax.numpy as jnp
+    disp = np.asarray(plane_ops.disparity_map(jnp.asarray(labeling)))
+    pfm.write_pfm(os.path.join(out_dir, "disp0.pfm"), disp)
+    if opt.do_dual:
+        disp_raw = np.asarray(plane_ops.disparity_map(jnp.asarray(raw)))
+        pfm.write_pfm(os.path.join(out_dir, "disp0raw.pfm"), disp_raw)
+    with open(os.path.join(out_dir, "time.txt"), "w") as f:
+        f.write(f"{ev.get_current_time():f}\n")
+    ev.close()
+    return disp
+
+
+def run_midv2(opt: Options):
+    """V2 driver (``main.cpp:270-329``)."""
+    pair = datasets.load_data(opt.target_dir, opt.ndisp)
+    print(f"ndisp = {pair.ndisp}")
+    solver = _make_solver(pair, opt, layers=[5, 15, 25])
+    return _run(solver, pair, opt, error_thresh=0.5,
+                gt_precision=pair.calib.gt_prec)
+
+
+def run_midv3(opt: Options):
+    """V3 driver (``main.cpp:331-421``)."""
+    pair = datasets.load_data(opt.target_dir, opt.ndisp)
+    print(f"ndisp = {pair.ndisp}")
+    h, w = pair.im0.shape[:2]
+
+    vol_l = acrt.read_acrt(os.path.join(opt.target_dir, "im0.acrt"),
+                           pair.ndisp, h, w)
+    vol_l = acrt.fill_out_of_view(vol_l, 0)
+    p1 = os.path.join(opt.target_dir, "im1.acrt")
+    if os.path.exists(p1):
+        vol_r = acrt.read_acrt(p1, pair.ndisp, h, w)
+    else:
+        print("Cost volume file im1.acrt not found so recovered from im0.acrt.")
+        vol_r = acrt.convert_volume_l2r(vol_l)
+    vol_r = acrt.fill_out_of_view(vol_r, 1)
+
+    err = 1.0
+    if "trainingQ" in opt.target_dir or "testQ" in opt.target_dir:
+        err /= 2.0
+    elif "trainingF" in opt.target_dir or "testF" in opt.target_dir:
+        err *= 2.0
+
+    layers = [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
+              max(1, int(w * 0.09))]
+    solver = _make_solver(pair, opt, layers=layers, vols=(vol_l, vol_r))
+    return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    opt = parse_args(argv)
+    print_options(opt)
+    if opt.output_dir:
+        os.makedirs(opt.output_dir, exist_ok=True)
+    if opt.mode == "MiddV2":
+        print("Running by Middlebury V2 mode.")
+        run_midv2(opt)
+    elif opt.mode == "MiddV3":
+        print("Running by Middlebury V3 mode.")
+        run_midv3(opt)
+    else:
+        print("Specify the following arguments:")
+        print("  -mode [MiddV2, MiddV3]")
+        print("  -targetDir [PATH_TO_IMAGE_DIR]")
+        print("  -outputDir [PATH_TO_OUTPUT_DIR]")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
