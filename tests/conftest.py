@@ -21,7 +21,10 @@ import sys
 # while-loop) dominate CPU test time otherwise.
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+# so tests really run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
