@@ -227,6 +227,52 @@ def _init_canvas(x: jnp.ndarray, hb: int, wb: int, s: int) -> jnp.ndarray:
     return x.reshape(hb * s, wb * s, *trail)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mode", "chunk"))
+def _warmstart_chunk(data: energy_mod.EnergyData,
+                     cfg: energy_mod.EnergyConfig, labels: jnp.ndarray,
+                     xs: jnp.ndarray, ys: jnp.ndarray, *, mode: int,
+                     chunk: int):
+    """Per-pixel unary of each pixel's OWN label over a 1x1 target window
+    (filter window 2R+1), the warm-start path of ``initCurrentFast``
+    (``FastGCStereo.h:117-130``)."""
+    q = energy_mod.unary_windows(data, cfg, mode, labels, xs, ys,
+                                 target_off=0, target_size=1)
+    return q[:, 0, 0]
+
+
+def init_from_labeling(data: energy_mod.EnergyData,
+                       cfg: energy_mod.EnergyConfig, labeling: np.ndarray,
+                       mode: int, chunk: int = 8192):
+    """Builds (labeling_m, cost_m) state from a given [H, W, 4] labeling by
+    evaluating every pixel's unary under its own plane (warm start)."""
+    h, w, p = cfg.height, cfg.width, cfg.pad
+    hp, wp = h + 2 * p, w + 2 * p
+    lab = np.asarray(labeling, np.float32)
+    assert lab.shape == (h, w, 4)
+
+    n = h * w
+    ys, xs = np.divmod(np.arange(n, dtype=np.int32), w)
+    labels_flat = lab.reshape(n, 4)
+    n_pad = -(-n // chunk) * chunk
+    xs = np.pad(xs, (0, n_pad - n))
+    ys = np.pad(ys, (0, n_pad - n))
+    labels_flat = np.pad(labels_flat, ((0, n_pad - n), (0, 0)))
+
+    costs = np.empty(n_pad, np.float32)
+    for i in range(0, n_pad, chunk):
+        costs[i:i + chunk] = np.asarray(_warmstart_chunk(
+            data, cfg, jnp.asarray(labels_flat[i:i + chunk]),
+            jnp.asarray(xs[i:i + chunk]), jnp.asarray(ys[i:i + chunk]),
+            mode=mode, chunk=chunk))
+
+    labeling_m = jnp.zeros((hp, wp, 4), jnp.float32
+                           ).at[p:p + h, p:p + w].set(lab)
+    cost_m = jnp.zeros((hp, wp), jnp.float32
+                       ).at[p:p + h, p:p + w].set(
+        costs[:n].reshape(h, w))
+    return labeling_m, cost_m
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def energy_audit(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                  labeling_m: jnp.ndarray, cost_m: jnp.ndarray, mode):
@@ -316,37 +362,73 @@ class LocalExpansionSolver:
     # --------------------------------------------------------------- run --
 
     def run(self, iterations: int, view_modes: Sequence[int] = (0, 1),
-            pm_iterations: int = 0):
+            pm_iterations: int = 0, init_labeling=None,
+            checkpoint_path: Optional[str] = None,
+            checkpoint_every: int = 0, resume_from: Optional[str] = None):
         """Full optimization (cf. ``FastGCStereo::run``). Returns
         (labeling, raw_labeling) as unpadded [H, W, 4] numpy arrays of the
-        left view (plus the internal state for inspection)."""
+        left view (plus the internal state for inspection).
+
+        Args:
+          init_labeling: optional [H, W, 4] warm-start labeling (the
+            reference's non-empty ``initCurrentFast`` branch).
+          checkpoint_path / checkpoint_every: save the full state every N
+            completed sweeps.
+          resume_from: path of a checkpoint to resume from (skips the
+            already-completed sweeps).
+        """
         self.finalize()
         cfg = self.cfg
         root = jax.random.PRNGKey(self.seed)
         state = {}
-        for mode in view_modes:
-            k = jax.random.fold_in(root, 1000 + mode)
-            state[mode] = init_step(self.data, cfg, k,
-                                    unit_size=self.layers[0].unit_size,
-                                    mode=mode)
-            self._evaluate(state, mode, index=0)
+        pm_done = gc_done = 0
+        if resume_from is not None:
+            from ..utils import checkpoint as ckpt_mod
+            ck = ckpt_mod.load_checkpoint(resume_from)
+            assert ck.pad == cfg.pad, "checkpoint geometry mismatch"
+            for mode in view_modes:
+                state[mode] = (jnp.asarray(ck.labeling[mode]),
+                               jnp.asarray(ck.cost[mode]))
+            pm_done = ck.pm_iterations_done
+            gc_done = ck.iterations_done
+        else:
+            for mode in view_modes:
+                if init_labeling is not None:
+                    state[mode] = init_from_labeling(self.data, cfg,
+                                                     init_labeling, mode)
+                else:
+                    k = jax.random.fold_in(root, 1000 + mode)
+                    state[mode] = init_step(
+                        self.data, cfg, k,
+                        unit_size=self.layers[0].unit_size, mode=mode)
+                self._evaluate(state, mode, index=0)
         if self.evaluator is not None:
             self.evaluator.start()
 
-        step = 0
-        for it in range(pm_iterations):
+        def maybe_checkpoint(pm_n, gc_n):
+            if checkpoint_path and checkpoint_every:
+                total = pm_n + gc_n
+                if total > 0 and total % checkpoint_every == 0:
+                    from ..utils import checkpoint as ckpt_mod
+                    ckpt_mod.save_checkpoint(checkpoint_path, state,
+                                             self.seed, pm_n, gc_n, cfg.pad)
+
+        step = len(view_modes) * (pm_done + gc_done)
+        for it in range(pm_done, pm_iterations):
             for mode in view_modes:
                 k = jax.random.fold_in(root, 2000 + step)
                 step += 1
                 state[mode] = self._sweep(state[mode], mode, it, False, k)
                 self._evaluate(state, mode, index=it + 1)
+            maybe_checkpoint(it + 1, 0)
 
-        for it in range(iterations):
+        for it in range(gc_done, iterations):
             for mode in view_modes:
                 k = jax.random.fold_in(root, 3000 + step)
                 step += 1
                 state[mode] = self._sweep(state[mode], mode, it, True, k)
                 self._evaluate(state, mode, index=it + 1 + pm_iterations)
+            maybe_checkpoint(pm_iterations, it + 1)
 
         raw = self._unpadded_labeling(state, 0)
         if len(view_modes) == 2:
