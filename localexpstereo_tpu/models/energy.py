@@ -162,9 +162,28 @@ def in_image_windows(cfg: EnergyConfig, ox: jnp.ndarray, oy: jnp.ndarray,
 
 # ---------------------------------------------------------------- unary ----
 
+def slice_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
+                         ox: jnp.ndarray, oy: jnp.ndarray, target_off: int,
+                         target_size: int):
+    """Pre-slices the guided-filter stat windows for :func:`unary_windows`.
+
+    These depend only on the region geometry, not on the proposal, so the
+    engine hoists this out of its per-proposal loop (the reference's
+    ``Reusable`` caching struct, ``StereoEnergy.h:616-626``)."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    foff = target_off - r
+    gwin = slice_windows(data.guide[mode], ox, oy, cfg.pad, foff, fsize)
+    mwin = slice_windows(data.gf_mean[mode], ox, oy, cfg.pad, foff, fsize)
+    iwin = slice_windows(data.gf_inv[mode], ox, oy, cfg.pad, foff, fsize)
+    fmask = in_image_windows(cfg, ox, oy, foff, fsize)
+    return gwin, mwin, iwin, fmask
+
+
 def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
-                  target_off: int, target_size: int) -> jnp.ndarray:
+                  target_off: int, target_size: int,
+                  stat_windows=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -198,10 +217,10 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
             cfg.params.th_grad, cfg.params.alpha)
 
     if cfg.params.filter_name:
-        gwin = slice_windows(data.guide[mode], ox, oy, cfg.pad, foff, fsize)
-        mwin = slice_windows(data.gf_mean[mode], ox, oy, cfg.pad, foff, fsize)
-        iwin = slice_windows(data.gf_inv[mode], ox, oy, cfg.pad, foff, fsize)
-        fmask = in_image_windows(cfg, ox, oy, foff, fsize)
+        if stat_windows is None:
+            stat_windows = slice_filter_windows(data, cfg, mode, ox, oy,
+                                                target_off, target_size)
+        gwin, mwin, iwin, fmask = stat_windows
         q = guided.filter_windows(raw, gwin, mwin, iwin, fmask, r)
     else:
         q = raw
