@@ -216,12 +216,24 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
             1.0 if mode == 0 else -1.0, cfg.params.th_col,
             cfg.params.th_grad, cfg.params.alpha)
 
-    if cfg.params.filter_name:
+    if cfg.params.filter_name in ("GF", "GFfloat"):
         if stat_windows is None:
             stat_windows = slice_filter_windows(data, cfg, mode, ox, oy,
                                                 target_off, target_size)
         gwin, mwin, iwin, fmask = stat_windows
         q = guided.filter_windows(raw, gwin, mwin, iwin, fmask, r)
+    elif cfg.params.filter_name in ("BF", "BL"):
+        # Joint bilateral aggregation (paramsBF): full windR radius, raw
+        # 0..255 guide (GuidedFilter.h:329-374). Reuses the sliced scaled
+        # guide windows, un-scaling them.
+        from ..ops import bilateral
+        if stat_windows is None:
+            stat_windows = slice_filter_windows(data, cfg, mode, ox, oy,
+                                                target_off, target_size)
+        gwin, _, _, fmask = stat_windows
+        q = bilateral.filter_windows(raw, gwin * 255.0, fmask,
+                                     cfg.params.windR,
+                                     cfg.params.filter_param1)
     else:
         q = raw
 
