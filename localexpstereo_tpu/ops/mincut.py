@@ -128,14 +128,17 @@ def _bfs_distance(cap_t, cap_fw, cap_bw, hmax: int, eps: float):
 
 
 @functools.partial(jax.jit, static_argnames=("max_global_rounds",
-                                             "sweeps_per_round"))
+                                             "sweeps_per_round",
+                                             "with_stats"))
 def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
                   c01: jnp.ndarray, c10: jnp.ndarray,
                   max_global_rounds: int = 64,
-                  sweeps_per_round: int = 0):
+                  sweeps_per_round: int = 0,
+                  with_stats: bool = False):
     """Solves the batched expansion move; returns accept mask [N, S, S] bool.
 
     accept[p] == True means pixel p takes the proposal (source side).
+    With ``with_stats`` also returns (rounds_used, active_nodes_left).
     """
     n, s = t0.shape[0], t0.shape[-1]
     hmax = s * s + 2
@@ -209,8 +212,20 @@ def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
         live = jnp.any((e > eps) & (h < hmax))
 
         def run(st):
-            return jax.lax.fori_loop(0, sweeps_per_round, push_relabel_sweep,
-                                     st)
+            # Inner sweeps exit as soon as no node is active, so a round
+            # never burns its full budget after local convergence.
+            def cond(c):
+                st, k = c
+                e, h = st[0], st[1]
+                return (k < sweeps_per_round) & jnp.any((e > eps)
+                                                        & (h < hmax))
+
+            def body(c):
+                st, k = c
+                return push_relabel_sweep(k, st), k + 1
+
+            (st, _) = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+            return st
 
         st = jax.lax.cond(live, run, lambda st: st,
                           (e, h, cap_t, cap_fw, cap_bw))
@@ -221,13 +236,17 @@ def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
         return live & (rounds < max_global_rounds)
 
     st = (e, h, cap_t, cap_fw, cap_bw)
-    st, _, _ = jax.lax.while_loop(round_cond, round_body,
-                                  (st, jnp.bool_(True), jnp.int32(0)))
+    st, _, rounds = jax.lax.while_loop(round_cond, round_body,
+                                       (st, jnp.bool_(True), jnp.int32(0)))
     e, h, cap_t, cap_fw, cap_bw = st
 
     # Cut extraction: sink side = can reach t in the residual graph.
     dist = _bfs_distance(cap_t, cap_fw, cap_bw, hmax, eps)
-    return dist >= hmax
+    accept = dist >= hmax
+    if with_stats:
+        active_left = jnp.sum((e > eps) & (dist < hmax))
+        return accept, rounds, active_left
+    return accept
 
 
 def move_energy_delta(accept: jnp.ndarray, t0, t1, c00, c01, c10):
