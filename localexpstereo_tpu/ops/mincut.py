@@ -94,6 +94,37 @@ def build_graph(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
     return e, cap_t, jnp.stack(cap_fw, axis=1)
 
 
+def build_fusion_graph(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
+                       c01: jnp.ndarray, c10: jnp.ndarray,
+                       c11: jnp.ndarray):
+    """Graph for the FUSION move (cost11 != 0; ``fusionMoveBK``,
+    ``FastGCStereo.h:241-410``).
+
+    Per edge with table (D, C, B, E) = (c00, c01, c10, c11):
+    source-caps ``C - E`` at p and ``D - C + E`` at q, sink-cap ``E`` at q,
+    edge capacity ``max(0, B + C - D - E)`` — the reference's same
+    non-submodular clamp. Returns (e, cap_t, cap_fw).
+    """
+    s = t0.shape[-1]
+    emask = _edge_masks(s)[None]
+    sigma = t0
+    tau = t1
+    cap_fw = []
+    for k, (dx, dy) in enumerate(EDGE_DIRS):
+        cme = jnp.where(emask[:, k], c01[:, k] - c11[:, k], 0.0)
+        dce = jnp.where(emask[:, k], c00[:, k] - c01[:, k] + c11[:, k], 0.0)
+        ee = jnp.where(emask[:, k], c11[:, k], 0.0)
+        sigma = sigma + cme + _shift(dce, -dx, -dy, 0.0)
+        tau = tau + _shift(ee, -dx, -dy, 0.0)
+        cap = jnp.maximum(0.0, c10[:, k] + c01[:, k] - c00[:, k]
+                          - c11[:, k])
+        cap_fw.append(jnp.where(emask[:, k], cap, 0.0))
+    nu = sigma - tau
+    e = jnp.maximum(nu, 0.0)
+    cap_t = jnp.maximum(-nu, 0.0)
+    return e, cap_t, jnp.stack(cap_fw, axis=1)
+
+
 def _residual_caps_to(cap_fw, cap_bw):
     """Residual capacity from p OUTWARD along each of 8 directions:
     4 forward (cap_fw at p) and 4 backward (cap_bw at p - dir)."""
@@ -127,26 +158,16 @@ def _bfs_distance(cap_t, cap_fw, cap_bw, hmax: int, eps: float):
     return jnp.where(d >= _INF, jnp.float32(hmax), d)
 
 
-@functools.partial(jax.jit, static_argnames=("max_global_rounds",
-                                             "sweeps_per_round",
-                                             "with_stats"))
-def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
-                  c01: jnp.ndarray, c10: jnp.ndarray,
-                  max_global_rounds: int = 64,
-                  sweeps_per_round: int = 0,
-                  with_stats: bool = False):
-    """Solves the batched expansion move; returns accept mask [N, S, S] bool.
-
-    accept[p] == True means pixel p takes the proposal (source side).
-    With ``with_stats`` also returns (rounds_used, active_nodes_left).
-    """
-    n, s = t0.shape[0], t0.shape[-1]
+def _solve_preflow(e, cap_t, cap_fw, max_global_rounds: int,
+                   sweeps_per_round: int):
+    """Shared push-relabel core: runs the preflow to termination and returns
+    (accept, rounds, active_left). See the module docstring."""
+    s = e.shape[-1]
     hmax = s * s + 2
     eps = jnp.float32(1e-7)
     if sweeps_per_round == 0:
         sweeps_per_round = max(16, s)
 
-    e, cap_t, cap_fw = build_graph(t0, t1, c00, c01, c10)
     cap_bw = jnp.zeros_like(cap_fw)
     h = jnp.zeros_like(e)
 
@@ -243,9 +264,47 @@ def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
     # Cut extraction: sink side = can reach t in the residual graph.
     dist = _bfs_distance(cap_t, cap_fw, cap_bw, hmax, eps)
     accept = dist >= hmax
+    active_left = jnp.sum((e > eps) & (dist < hmax))
+    return accept, rounds, active_left
+
+
+@functools.partial(jax.jit, static_argnames=("max_global_rounds",
+                                             "sweeps_per_round",
+                                             "with_stats"))
+def mincut_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
+                  c01: jnp.ndarray, c10: jnp.ndarray,
+                  max_global_rounds: int = 64,
+                  sweeps_per_round: int = 0,
+                  with_stats: bool = False):
+    """Solves the batched expansion move; returns accept mask [N, S, S] bool.
+
+    accept[p] == True means pixel p takes the proposal (source side).
+    With ``with_stats`` also returns (rounds_used, active_nodes_left).
+    """
+    e, cap_t, cap_fw = build_graph(t0, t1, c00, c01, c10)
+    accept, rounds, left = _solve_preflow(e, cap_t, cap_fw,
+                                          max_global_rounds,
+                                          sweeps_per_round)
     if with_stats:
-        active_left = jnp.sum((e > eps) & (dist < hmax))
-        return accept, rounds, active_left
+        return accept, rounds, left
+    return accept
+
+
+@functools.partial(jax.jit, static_argnames=("max_global_rounds",
+                                             "sweeps_per_round"))
+def fusion_accept(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
+                  c01: jnp.ndarray, c10: jnp.ndarray, c11: jnp.ndarray,
+                  max_global_rounds: int = 64, sweeps_per_round: int = 0):
+    """Fusion move between two labelings: accept[p] == True takes labeling 1.
+
+    The reference implements (but never invokes) this as ``fusionMoveBK``;
+    it is the hook for fusion-move extensions. Non-submodular edges are
+    truncated exactly like the reference's clamp, so the move is approximate
+    there but still energy-checked by the engine's guard.
+    """
+    e, cap_t, cap_fw = build_fusion_graph(t0, t1, c00, c01, c10, c11)
+    accept, _, _ = _solve_preflow(e, cap_t, cap_fw, max_global_rounds,
+                                  sweeps_per_round)
     return accept
 
 

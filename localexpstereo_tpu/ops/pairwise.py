@@ -164,6 +164,47 @@ def expansion_tables(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
+def fusion_tables(labels0_halo: jnp.ndarray, labels1_halo: jnp.ndarray,
+                  coeff_fwd: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
+                  lambda_: float, tau: float):
+    """Pairwise tables for FUSING two full labelings on one window
+    (``computeSmoothnessTermsFusion``, ``StereoEnergy.h:331-394``).
+
+    Unlike expansion, both states are per-pixel labelings, so cost11 is not
+    identically zero. Returns (cost00, cost01, cost10, cost11), each
+    [4, S, S].
+    """
+    s = labels0_halo.shape[0] - 2
+    lab0 = labels0_halo[1:-1, 1:-1]
+    lab1 = labels1_halo[1:-1, 1:-1]
+    ys = oy + jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    xs = ox + jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    d0_ee = _disp(lab0, xs, ys)
+    d1_ee = _disp(lab1, xs, ys)
+
+    outs = [[], [], [], []]
+    for i, k in enumerate(FORWARD):
+        dx, dy = NEIGHBORS[k]
+        xq, yq = xs + dx, ys + dy
+        lab0_nb = labels0_halo[1 + dy:1 + dy + s, 1 + dx:1 + dx + s]
+        lab1_nb = labels1_halo[1 + dy:1 + dy + s, 1 + dx:1 + dx + s]
+        w = coeff_fwd[i] * lambda_
+
+        def psi(lab_p, d_p_at_p, lab_q):
+            d_q_at_p = _disp(lab_q, xs, ys)
+            d_p_at_q = _disp(lab_p, xq, yq)
+            d_q_at_q = _disp(lab_q, xq, yq)
+            return jnp.minimum(jnp.abs(d_p_at_p - d_q_at_p)
+                               + jnp.abs(d_p_at_q - d_q_at_q), tau) * w
+
+        outs[0].append(psi(lab0, d0_ee, lab0_nb))
+        outs[1].append(psi(lab0, d0_ee, lab1_nb))
+        outs[2].append(psi(lab1, d1_ee, lab0_nb))
+        outs[3].append(psi(lab1, d1_ee, lab1_nb))
+    return tuple(jnp.stack(o) for o in outs)
+
+
+@functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
 def boundary_tlinks(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
                     coeff_all: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                     lambda_: float, tau: float):

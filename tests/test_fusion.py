@@ -1,0 +1,147 @@
+"""Fusion-move tests: table semantics + min-cut optimality vs brute force."""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localexpstereo_tpu.ops import mincut, pairwise
+
+
+def _fusion_problem(rng, n, s, tau=1.0, lam=0.7):
+    """Random fusion problem from two labelings (curvature tables)."""
+    halo0 = rng.standard_normal((n, s + 2, s + 2, 4)).astype(np.float32)
+    halo1 = rng.standard_normal((n, s + 2, s + 2, 4)).astype(np.float32)
+    coeff = rng.random((n, 4, s, s)).astype(np.float32)
+    import jax
+    c00, c01, c10, c11 = jax.vmap(
+        lambda h0, h1, cf: pairwise.fusion_tables(h0, h1, cf, 3.0, 5.0,
+                                                  lam, tau)
+    )(jnp.asarray(halo0), jnp.asarray(halo1), jnp.asarray(coeff))
+    t0 = (rng.random((n, s, s)) * 4).astype(np.float32)
+    t1 = (rng.random((n, s, s)) * 4).astype(np.float32)
+    return (t0, t1, np.asarray(c00), np.asarray(c01), np.asarray(c10),
+            np.asarray(c11), halo0, halo1, coeff)
+
+
+def _energy(x, t0, t1, c00, c01, c10, c11):
+    s = x.shape[0]
+    e = float(np.sum(np.where(x, t1, t0)))
+    for k, (dx, dy) in enumerate(mincut.EDGE_DIRS):
+        for yy in range(s):
+            for xx in range(s):
+                qx, qy = xx + dx, yy + dy
+                if not (0 <= qx < s and 0 <= qy < s):
+                    continue
+                tbl = (c00, c01, c10, c11)[
+                    int(x[yy, xx]) * 2 + int(x[qy, qx])]
+                e += tbl[k, yy, xx]
+    return e
+
+
+def test_fusion_tables_oracle():
+    """Each table entry is psi of the corresponding label pair at global
+    coords (StereoEnergy.h:331-394)."""
+    rng = np.random.default_rng(0)
+    s = 4
+    h0 = rng.standard_normal((s + 2, s + 2, 4)).astype(np.float32)
+    h1 = rng.standard_normal((s + 2, s + 2, 4)).astype(np.float32)
+    coeff = rng.random((4, s, s)).astype(np.float32)
+    ox, oy, lam, tau = 7.0, 2.0, 0.5, 1.0
+    tables = pairwise.fusion_tables(jnp.asarray(h0), jnp.asarray(h1),
+                                    jnp.asarray(coeff), ox, oy, lam, tau)
+    tables = [np.asarray(t) for t in tables]
+
+    def d(lab, x, y):
+        return lab[0] * x + lab[1] * y + lab[2]
+
+    for i, k in enumerate(pairwise.FORWARD):
+        dx, dy = pairwise.NEIGHBORS[k]
+        for yy in range(s):
+            for xx in range(s):
+                px, py = ox + xx, oy + yy
+                qx, qy = px + dx, py + dy
+                labs_p = (h0[yy + 1, xx + 1], h1[yy + 1, xx + 1])
+                labs_q = (h0[yy + 1 + dy, xx + 1 + dx],
+                          h1[yy + 1 + dy, xx + 1 + dx])
+                for a in (0, 1):
+                    for b in (0, 1):
+                        lp, lq = labs_p[a], labs_q[b]
+                        curv = (abs(d(lp, px, py) - d(lq, px, py))
+                                + abs(d(lp, qx, qy) - d(lq, qx, qy)))
+                        want = coeff[i, yy, xx] * min(curv, tau) * lam
+                        got = tables[a * 2 + b][i, yy, xx]
+                        assert got == pytest.approx(want, rel=1e-4, abs=1e-5)
+
+
+def test_fusion_mincut_not_worse_than_endpoints():
+    """The fused labeling's energy must be <= min(all-0, all-1) — the
+    guarantee fusion moves provide even with non-submodular truncation."""
+    rng = np.random.default_rng(1)
+    n, s = 4, 5
+    t0, t1, c00, c01, c10, c11, *_ = _fusion_problem(rng, n, s)
+    acc = np.asarray(mincut.fusion_accept(
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(c00),
+        jnp.asarray(c01), jnp.asarray(c10), jnp.asarray(c11)))
+    for i in range(n):
+        e_fused = _energy(acc[i], t0[i], t1[i], c00[i], c01[i], c10[i],
+                          c11[i])
+        e_0 = _energy(np.zeros((s, s), bool), t0[i], t1[i], c00[i], c01[i],
+                      c10[i], c11[i])
+        e_1 = _energy(np.ones((s, s), bool), t0[i], t1[i], c00[i], c01[i],
+                      c10[i], c11[i])
+        assert e_fused <= min(e_0, e_1) + 1e-3
+
+
+def test_fusion_mincut_optimal_when_submodular():
+    """On submodular instances the fusion cut must reach the brute-force
+    optimum (3x3 windows). Random curvature tables between two independent
+    labelings are generally NOT submodular, so build submodular instances
+    directly: c00 = c11 = 0 with non-negative c01/c10."""
+    rng = np.random.default_rng(2)
+    n, s = 6, 3
+    c00 = np.zeros((n, 4, s, s), np.float32)
+    c11 = np.zeros((n, 4, s, s), np.float32)
+    c01 = (rng.random((n, 4, s, s)) * 2).astype(np.float32)
+    c10 = (rng.random((n, 4, s, s)) * 2).astype(np.float32)
+    t0 = (rng.random((n, s, s)) * 4).astype(np.float32)
+    t1 = (rng.random((n, s, s)) * 4).astype(np.float32)
+    acc = np.asarray(mincut.fusion_accept(
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(c00),
+        jnp.asarray(c01), jnp.asarray(c10), jnp.asarray(c11)))
+    for i in range(n):
+        best = min(
+            _energy(np.asarray(bits, bool).reshape(s, s), t0[i], t1[i],
+                    c00[i], c01[i], c10[i], c11[i])
+            for bits in itertools.product([0, 1], repeat=s * s))
+        got = _energy(acc[i], t0[i], t1[i], c00[i], c01[i], c10[i], c11[i])
+        assert got == pytest.approx(best, rel=1e-4, abs=1e-3)
+
+
+def test_fusion_reduces_to_expansion_when_lab1_constant():
+    """Fusion with labeling1 = a constant plane must equal the expansion
+    solver on the same problem (cost11 == 0 for identical planes)."""
+    rng = np.random.default_rng(3)
+    n, s = 3, 4
+    halo0 = rng.standard_normal((n, s + 2, s + 2, 4)).astype(np.float32)
+    prop = rng.standard_normal((n, 4)).astype(np.float32)
+    halo1 = np.broadcast_to(prop[:, None, None, :],
+                            (n, s + 2, s + 2, 4)).copy()
+    coeff = rng.random((n, 4, s, s)).astype(np.float32)
+    lam, tau = 0.7, 1.0
+    import jax
+    f00, f01, f10, f11 = jax.vmap(
+        lambda h0, h1, cf: pairwise.fusion_tables(h0, h1, cf, 2.0, 4.0,
+                                                  lam, tau)
+    )(jnp.asarray(halo0), jnp.asarray(halo1), jnp.asarray(coeff))
+    e00, e01, e10 = jax.vmap(
+        lambda h0, pr, cf: pairwise.expansion_tables(h0, pr, cf, 2.0, 4.0,
+                                                     lam, tau)
+    )(jnp.asarray(halo0), jnp.asarray(prop), jnp.asarray(coeff))
+    np.testing.assert_allclose(np.asarray(f11), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f00), np.asarray(e00), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f01), np.asarray(e01), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f10), np.asarray(e10), rtol=1e-5,
+                               atol=1e-5)
