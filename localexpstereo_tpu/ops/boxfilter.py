@@ -29,20 +29,55 @@ def band_matrix(n: int, radius: int) -> jnp.ndarray:
     return jnp.asarray(_band_matrix_np(n, radius))
 
 
+def _box1d_cumsum(x: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
+    """Zero-padded 1D box sum along ``axis`` via cumulative sums:
+    ``out[i] = c[min(i+r, n-1)] - c[i-r-1]`` with ``c[-1] = 0``."""
+    n = x.shape[axis]
+    r = min(radius, n - 1)
+    c = jnp.cumsum(x, axis=axis)
+
+    def take(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return c[tuple(idx)]
+
+    def last():
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(n - 1, n)
+        return c[tuple(idx)]
+
+    reps = [1] * x.ndim
+    reps[axis] = r
+    upper = jnp.concatenate([take(r, n), jnp.tile(last(), reps)], axis=axis)
+    zero_shape = list(x.shape)
+    zero_shape[axis] = r + 1
+    lower = jnp.concatenate(
+        [jnp.zeros(zero_shape, x.dtype), take(0, n - r - 1)], axis=axis)
+    return upper - lower
+
+
 def boxsum2d(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Unnormalized (2R+1)^2 box sum with zero padding.
+
+    Summed-area-table formulation: two cumulative sums + shifted differences,
+    O(1) work per pixel per axis (vs O(R) for direct windows or O(S) for a
+    banded matmul) — the hot aggregation path is bandwidth-bound, not
+    FLOP-bound, so this is the right shape for the VPU.
 
     Args:
       x: [..., H, W] float32.
     Returns:
       same shape; ``out[y, x] = sum of x over the window clipped to bounds``.
     """
+    out = _box1d_cumsum(x, radius, x.ndim - 2)
+    return _box1d_cumsum(out, radius, x.ndim - 1)
+
+
+def boxsum2d_matmul(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Banded-matmul variant (kept for A/B testing on the MXU)."""
     h, w = x.shape[-2], x.shape[-1]
     bh = band_matrix(h, radius)
     bw = band_matrix(w, radius)
-    # Row direction: sum over y' with |y' - y| <= R  ==  bh^T applied on axis -2.
-    # HIGHEST precision: the 0/1 band matrix must act as an exact f32
-    # accumulator, not a bf16 MXU pass (box sums feed covariance math).
     out = jnp.einsum("...hw,hk->...kw", x, bh,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
