@@ -58,6 +58,7 @@ class EnergyConfig:
     max_disp: float
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
+    mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
 
 
 def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,

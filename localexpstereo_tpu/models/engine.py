@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Parameters
-from ..ops import mincut, pairwise, plane as plane_ops
+from ..ops import mincut, mincut_pallas, pairwise, plane as plane_ops
 from . import energy as energy_mod
 from . import grid, proposals
 
@@ -38,6 +38,17 @@ from . import grid, proposals
 #: [Expansion(2), Ransac(1)].
 LAYER0_PROPOSERS = ("expansion", "ransac", "random7")
 COARSE_PROPOSERS = ("expansion", "expansion", "ransac")
+
+
+def _mincut_dispatch(cfg, t0, t1, c00, c01, c10):
+    """Selects the min-cut backend: the VMEM-resident Pallas kernel on TPU,
+    the pure-XLA solver elsewhere (identical semantics, cross-tested)."""
+    use_pallas = (cfg.mincut_backend == "pallas"
+                  or (cfg.mincut_backend == "auto"
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
+        return mincut_pallas.mincut_accept_pallas(t0, t1, c00, c01, c10)
+    return mincut.mincut_accept(t0, t1, c00, c01, c10)
 
 
 def make_plan(proposer_names: Sequence[str], outer_iter: int,
@@ -147,8 +158,8 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 lambda hl, pr, cf, x0, y0: pairwise.boundary_tlinks(
                     hl, pr, cf, x0, y0, lam, tau)
             )(halo, props, coeff_win, tox, toy)
-            accept = mincut.mincut_accept(ccost + t0b, pcost + t1b,
-                                          c00, c01, c10)
+            accept = _mincut_dispatch(cfg, ccost + t0b, pcost + t1b,
+                                      c00, c01, c10)
             # Monotonicity guard (cf. FastGCStereo.h:561-594): reject any
             # region whose move would not decrease its energy.
             delta = mincut.move_energy_delta(accept, ccost + t0b,

@@ -159,7 +159,7 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
 
         capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
         dist = bfs(capt, capfw, capbw)
-        accept_ref[0] = (dist >= hmax).astype(jnp.float32)
+        accept_ref[0] = (dist >= hmax).astype(jnp.int8)
 
     return kernel
 
@@ -193,7 +193,9 @@ def mincut_accept_pallas(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, s, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, s, s), jnp.int8),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(e, cap_t, cap_fw)
-    return accept > 0.5
+    return accept > 0
