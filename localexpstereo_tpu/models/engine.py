@@ -436,6 +436,8 @@ class LocalExpansionSolver:
                 step += 1
                 state[mode] = self._sweep(state[mode], mode, it, False, k)
                 self._evaluate(state, mode, index=it + 1)
+            if self.evaluator is not None and len(view_modes) == 2:
+                self.evaluator.save_consistency(self, state, it + 1)
             maybe_checkpoint(it + 1, 0)
 
         for it in range(gc_done, iterations):
@@ -444,6 +446,9 @@ class LocalExpansionSolver:
                 step += 1
                 state[mode] = self._sweep(state[mode], mode, it, True, k)
                 self._evaluate(state, mode, index=it + 1 + pm_iterations)
+            if self.evaluator is not None and len(view_modes) == 2:
+                self.evaluator.save_consistency(self, state,
+                                                it + 1 + pm_iterations)
             maybe_checkpoint(pm_iterations, it + 1)
 
         raw = self._unpadded_labeling(state, 0)

@@ -129,6 +129,45 @@ class Evaluator:
                 self.save_dir, f"{self.header}{mode}E{index:02d}.png"),
                 err_vis.astype(np.uint8))
 
+    def save_consistency(self, solver, state, index: int):
+        """Red/blue consistency visualizations (``viewConsistencyCheck``,
+        ``PMStereoBase.h:87-108``; saved per iteration at
+        ``FastGCStereo.h:160-168``): blue channel marks mismatches (255),
+        red marks out-of-view reprojections (128)."""
+        if not self.save_progress or 0 not in state or 1 not in state:
+            return
+        was_ticking = self.timer.is_ticking()
+        self.stop()
+        try:
+            import cv2
+            import jax.numpy as jnp
+            from ..ops import plane as plane_ops
+            from . import postprocess
+
+            cfg = solver.cfg
+            p = cfg.pad
+            disps = []
+            for mode in (0, 1):
+                lab = state[mode][0][p:p + cfg.height, p:p + cfg.width]
+                disps.append(plane_ops.disparity_map(jnp.asarray(lab)))
+            fail0, fail1 = postprocess.consistency_check(disps[0], disps[1],
+                                                         1.5)
+            for mode, (disp, fail) in enumerate(zip(disps, (fail0, fail1))):
+                vis8 = np.clip(np.asarray(disp) * self.disparity_factor, 0,
+                               255).astype(np.uint8)
+                img = np.stack([vis8] * 3, -1)
+                f = np.asarray(fail)
+                img[f == 128, 0] = 255
+                img[f == 255, 2] = 255
+                cv2.imwrite(os.path.join(
+                    self.save_dir,
+                    f"{self.header}{mode}C{index:02d}.png"), img)
+        except ImportError:
+            pass
+        finally:
+            if was_ticking:
+                self.start()
+
     # ------------------------------------------------------------- timer --
 
     def start(self):
