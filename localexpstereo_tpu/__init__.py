@@ -9,7 +9,9 @@ import jax as _jax
 
 # Persistent compilation cache: the engine compiles one executable per
 # (layer, proposal-plan) variant; caching makes repeated runs start hot.
-_cache_dir = _os.environ.get("LOCALEXP_JAX_CACHE", "/tmp/jax_cache")
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_cache_dir = _os.environ.get("LOCALEXP_JAX_CACHE",
+                             _os.path.join(_repo_root, ".jax_cache"))
 try:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
