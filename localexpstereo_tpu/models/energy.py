@@ -208,9 +208,15 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     foy = oy + foff
 
     if cfg.kind == "volume":
-        raw = unary_volume.sample_windows(
-            data.vol[mode], proposals, fox, foy, fsize,
-            cfg.min_disp, cfg.max_disp, cfg.params.th_col, cfg.interp)
+        if cfg.interp == 1:
+            # Fast slab-based linear interpolation (identical semantics).
+            raw = unary_volume.sample_windows_slab(
+                data.vol[mode], proposals, fox, foy, fsize,
+                cfg.min_disp, cfg.max_disp, cfg.params.th_col)
+        else:
+            raw = unary_volume.sample_windows(
+                data.vol[mode], proposals, fox, foy, fsize,
+                cfg.min_disp, cfg.max_disp, cfg.params.th_col, cfg.interp)
     else:
         raw = unary_warp.sample_windows(
             data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,

@@ -313,3 +313,31 @@ def test_filter_windows_mask_matches_clipped_crop():
         jnp.ones((1, valid, valid)), r))[0]
     np.testing.assert_allclose(q_masked[:valid, :valid], q_crop, rtol=1e-4,
                                atol=1e-5)
+
+
+# --------------------------------------------------------- unary volume ----
+
+def test_volume_slab_matches_gather_path():
+    """The slab-based fast path must reproduce the reference-exact gather
+    path (linear interpolation, edge clamping, th truncation, masking)."""
+    from localexpstereo_tpu.ops import unary_volume
+    rng = np.random.default_rng(11)
+    d_, h, w = 12, 20, 26
+    vol = rng.random((d_, h, w)).astype(np.float32)
+    n = 5
+    props = np.stack([
+        rng.uniform(-0.2, 0.2, n),
+        rng.uniform(-0.2, 0.2, n),
+        rng.uniform(-3, d_ + 3, n),   # includes out-of-range planes
+        np.zeros(n),
+    ], -1).astype(np.float32)
+    ox = np.asarray([-4, 0, 5, 14, 20], np.int32)   # windows off both edges
+    oy = np.asarray([-3, 2, 8, 12, 16], np.int32)
+    size = 8
+    a = np.asarray(unary_volume.sample_windows(
+        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(ox),
+        jnp.asarray(oy), size, 0.0, float(d_ - 1), 0.7, 1))
+    b = np.asarray(unary_volume.sample_windows_slab(
+        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(ox),
+        jnp.asarray(oy), size, 0.0, float(d_ - 1), 0.7))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
