@@ -42,6 +42,32 @@ def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
     """
     d_, h, w = vol.shape
     n = proposals.shape[0]
+
+    # Slab memory is N * D * F^2 floats; chunk the region batch so the
+    # transient stays under ~2 GB (the init path evaluates every cell of the
+    # image at once).
+    budget_bytes = 2 << 30
+    per_region = d_ * size * size * 4
+    chunk = max(1, min(n, budget_bytes // max(per_region, 1)))
+    if chunk < n:
+        n_pad = -(-n // chunk) * chunk
+        pads = n_pad - n
+
+        def padv(x):
+            return jnp.pad(x, [(0, pads)] + [(0, 0)] * (x.ndim - 1))
+
+        out = jax.lax.map(
+            lambda args: _slab_chunk(vol, *args, size=size,
+                                     min_disp=min_disp, th_col=th_col),
+            (padv(proposals).reshape(-1, chunk, 4),
+             padv(ox).reshape(-1, chunk), padv(oy).reshape(-1, chunk)))
+        return out.reshape(n_pad, size, size)[:n]
+    return _slab_chunk(vol, proposals, ox, oy, size=size, min_disp=min_disp,
+                       th_col=th_col)
+
+
+def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
+    d_, h, w = vol.shape
     d0_off = float(-min_disp)
 
     ocx = jnp.clip(ox, 0, max(w - size, 0))
