@@ -29,21 +29,21 @@ _INF = 3e38  # python literal: Pallas kernels cannot capture array constants
 
 
 def _shift2d(x: jnp.ndarray, dx: int, dy: int, fill) -> jnp.ndarray:
-    """Value at p + (dx, dy) on a [S, S] tile, `fill` outside."""
-    s0, s1 = x.shape
+    """Value at p + (dx, dy) on a [B, S, S] tile batch, `fill` outside."""
+    b, s0, s1 = x.shape
     out = x
     if dy:
-        pad = jnp.full((abs(dy), s1), fill, x.dtype)
+        pad = jnp.full((b, abs(dy), s1), fill, x.dtype)
         if dy > 0:
-            out = jnp.concatenate([out[dy:], pad], axis=0)
+            out = jnp.concatenate([out[:, dy:], pad], axis=1)
         else:
-            out = jnp.concatenate([pad, out[:dy]], axis=0)
+            out = jnp.concatenate([pad, out[:, :dy]], axis=1)
     if dx:
-        pad = jnp.full((s0, abs(dx)), fill, x.dtype)
+        pad = jnp.full((b, s0, abs(dx)), fill, x.dtype)
         if dx > 0:
-            out = jnp.concatenate([out[:, dx:], pad], axis=1)
+            out = jnp.concatenate([out[:, :, dx:], pad], axis=2)
         else:
-            out = jnp.concatenate([pad, out[:, :dx]], axis=1)
+            out = jnp.concatenate([pad, out[:, :, :dx]], axis=2)
     return out
 
 
@@ -123,9 +123,9 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
         return e, h, capt, capfw
 
     def kernel(e0_ref, capt0_ref, fw0_ref, accept_ref):
-        e0 = e0_ref[0]
-        capt0 = capt0_ref[0]
-        fw0 = tuple(fw0_ref[0, k] for k in range(4))
+        e0 = e0_ref[...]
+        capt0 = capt0_ref[...]
+        fw0 = tuple(fw0_ref[:, k] for k in range(4))
 
         def round_body(carry):
             e, h, capt, capfw, _, rounds = carry
@@ -159,7 +159,7 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
 
         capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
         dist = bfs(capt, capfw, capbw)
-        accept_ref[0] = (dist >= hmax).astype(jnp.int8)
+        accept_ref[...] = (dist >= hmax).astype(jnp.int8)
 
     return kernel
 
@@ -179,23 +179,37 @@ def mincut_accept_pallas(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
 
     e, cap_t, cap_fw = mincut_xla.build_graph(t0, t1, c00, c01, c10)
 
+    # Pack several regions per kernel program: amortizes loop overhead and
+    # fills the VPU at small S. Budget ~4 MB of VMEM for the solver state
+    # (11 planes + double-buffered inputs).
+    lanes = -(-s // 128) * 128
+    sublanes = -(-s // 8) * 8
+    per_region = 11 * sublanes * lanes * 4
+    b = int(max(1, min(16, (4 << 20) // max(per_region, 1))))
+    n_pad = -(-n // b) * b
+    if n_pad != n:
+        padw = [(0, n_pad - n)] + [(0, 0)] * 2
+        e = jnp.pad(e, padw)
+        cap_t = jnp.pad(cap_t, padw)
+        cap_fw = jnp.pad(cap_fw, [(0, n_pad - n)] + [(0, 0)] * 3)
+
     kernel = _make_kernel(s, max_global_rounds, sweeps_per_round)
     accept = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n_pad // b,),
         in_specs=[
-            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+            pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, s, s), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((b, 4, s, s), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, s), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, s, s), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s, s), jnp.int8),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(e, cap_t, cap_fw)
-    return accept > 0
+    return accept[:n] > 0
