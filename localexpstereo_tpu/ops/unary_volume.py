@@ -4,9 +4,14 @@ TPU-native equivalent of ``CostVolumeEnergy::ComputeUnaryPotentialWithoutCheck``
 (``CostVolumeEnergy.h:55-183``): for every window pixel the plane's disparity
 ``d = a*x + b*y + c`` indexes the volume's d-axis with linear interpolation
 (``interpolate == 1``, the shipped default; nearest and quadratic variants are
-also provided via ``method``). Instead of materializing per-region volume
-slabs, the whole batch of windows is ONE flat gather from the HBM-resident
-volume — two taps for linear interpolation.
+also provided via ``method``).
+
+Two implementations:
+- :func:`sample_windows_slab` (fast path, linear only): per-region contiguous
+  volume slabs + dense tent-weight reduction — streams at HBM bandwidth
+  instead of paying per-element gather latency (~20x faster on TPU);
+- :func:`sample_windows` (reference-exact gather formulation, all three
+  interpolation modes) — kept as the oracle and for methods 0/2.
 
 Semantics preserved exactly:
 - ``d < MIN``  -> slice 0;   ``d >= MAX`` -> slice D-1  (clamped, untruncated)
