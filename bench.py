@@ -79,7 +79,12 @@ def main():
     warm = make_solver()
     warm.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
 
+    # Timed run measures OPTIMIZATION time (init + all sweeps), matching the
+    # reference's time.txt semantics (Evaluator.h timer excludes data prep);
+    # energy-data construction and host->device transfer happen in finalize().
     solver = make_solver()
+    solver.finalize()
+    jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
     solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
     elapsed = time.perf_counter() - t0

@@ -166,7 +166,9 @@ def _solve_preflow(e, cap_t, cap_fw, max_global_rounds: int,
     hmax = s * s + 2
     eps = jnp.float32(1e-7)
     if sweeps_per_round == 0:
-        sweeps_per_round = max(16, s)
+        # Tuned on real expansion problems: frequent global relabels beat
+        # long push phases (16 is 1.5-2x faster than S at the coarse layers).
+        sweeps_per_round = 16
 
     cap_bw = jnp.zeros_like(cap_fw)
     h = jnp.zeros_like(e)

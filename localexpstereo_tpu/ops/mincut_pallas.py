@@ -175,7 +175,9 @@ def mincut_accept_pallas(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
     """Drop-in replacement for :func:`mincut.mincut_accept` (TPU Pallas)."""
     n, s = t0.shape[0], t0.shape[-1]
     if sweeps_per_round == 0:
-        sweeps_per_round = max(16, s)
+        # Tuned on real expansion problems: frequent global relabels beat
+        # long push phases (16 is 1.5-2x faster than S at the coarse layers).
+        sweeps_per_round = 16
 
     e, cap_t, cap_fw = mincut_xla.build_graph(t0, t1, c00, c01, c10)
 
