@@ -181,10 +181,28 @@ def slice_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     return gwin, mwin, iwin, fmask
 
 
+def slice_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
+                       ox: jnp.ndarray, oy: jnp.ndarray, target_off: int,
+                       target_size: int):
+    """Pre-slices per-region volume slabs for the filter windows (hoisted out
+    of the proposal loop when the transient fits in memory)."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    return unary_volume.slice_slabs(data.vol[mode], ox + target_off - r,
+                                    oy + target_off - r, fsize)
+
+
+def volume_slab_bytes(data: EnergyData, n_regions: int, target_size: int,
+                      guided_radius: int) -> int:
+    d_ = data.vol.shape[1]
+    fsize = target_size + 2 * guided_radius
+    return 4 * n_regions * d_ * fsize * fsize
+
+
 def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                   target_off: int, target_size: int,
-                  stat_windows=None) -> jnp.ndarray:
+                  stat_windows=None, vol_slabs=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -208,7 +226,13 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     foy = oy + foff
 
     if cfg.kind == "volume":
-        if cfg.interp == 1:
+        if vol_slabs is not None:
+            slab, ocx, ocy = vol_slabs
+            raw = unary_volume.sample_slabs(
+                slab, ocx, ocy, proposals, fox, foy,
+                data.vol.shape[2:], size=fsize, min_disp=cfg.min_disp,
+                th_col=cfg.params.th_col)
+        elif cfg.interp == 1:
             # Fast slab-based linear interpolation (identical semantics).
             raw = unary_volume.sample_windows_slab(
                 data.vol[mode], proposals, fox, foy, fsize,

@@ -115,11 +115,18 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     tmask = energy_mod.in_image_windows(cfg, ox, oy, -s, ss) > 0
     canvas_hw = (nby * 4 * s, nbx * 4 * s)
     start2 = (coy + p, cox + p)
-    # Stat windows are proposal-independent: slice once per color step
-    # (the reference's Reusable cache, StereoEnergy.h:616-626).
+    # Stat windows and volume slabs are proposal-independent: slice once per
+    # color step (the reference's Reusable cache, StereoEnergy.h:616-626).
     stat_windows = (energy_mod.slice_filter_windows(data, cfg, mode, ox, oy,
                                                     -s, ss)
                     if cfg.params.filter_name else None)
+    vol_slabs = None
+    if cfg.kind == "volume" and cfg.interp == 1:
+        n_regions = ox.shape[0]
+        if energy_mod.volume_slab_bytes(data, n_regions, ss,
+                                        cfg.params.guided_radius) <= (2 << 30):
+            vol_slabs = energy_mod.slice_volume_slabs(data, cfg, mode, ox,
+                                                      oy, -s, ss)
 
     if do_gc:
         coeff_win = energy_mod.slice_windows_leading(
@@ -142,7 +149,7 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 cfg.min_disp, cfg.max_disp, cfg.max_vdisp)
 
         pcost = energy_mod.unary_windows(data, cfg, mode, props, ox, oy,
-                                         -s, ss, stat_windows)
+                                         -s, ss, stat_windows, vol_slabs)
         ccost = energy_mod.slice_windows(cost_m, ox, oy, p, -s, ss)
 
         if do_gc:

@@ -71,10 +71,13 @@ def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
                        th_col=th_col)
 
 
-def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
-    d_, h, w = vol.shape
-    d0_off = float(-min_disp)
+def slice_slabs(vol: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
+                size: int):
+    """Pre-slices per-region volume slabs at clamped origins.
 
+    Proposal-independent: the engine hoists this out of its per-proposal
+    loop so 9 proposals share one slab read. Returns (slab, ocx, ocy)."""
+    d_, h, w = vol.shape
     ocx = jnp.clip(ox, 0, max(w - size, 0))
     ocy = jnp.clip(oy, 0, max(h - size, 0))
 
@@ -82,6 +85,15 @@ def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
         return jax.lax.dynamic_slice(vol, (0, o[1], o[0]), (d_, size, size))
 
     slab = jax.vmap(slice_slab)(jnp.stack([ocx, ocy], -1))  # [N, D, F, F]
+    return slab, ocx, ocy
+
+
+def sample_slabs(slab, ocx, ocy, proposals, ox, oy, hw, *, size, min_disp,
+                 th_col):
+    """Tent-weight reduction over pre-sliced slabs (see sample_windows_slab)."""
+    h, w = hw
+    d_ = slab.shape[1]
+    d0_off = float(-min_disp)
 
     iy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
     ix = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
@@ -117,6 +129,12 @@ def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
     xsg = ox[:, None, None] + ixg[None]
     in_image = (xsg >= 0) & (xsg < w) & (ysg >= 0) & (ysg < h)
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
+
+
+def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
+    slab, ocx, ocy = slice_slabs(vol, ox, oy, size)
+    return sample_slabs(slab, ocx, ocy, proposals, ox, oy, vol.shape[1:],
+                        size=size, min_disp=min_disp, th_col=th_col)
 
 
 def sample_windows(vol: jnp.ndarray, proposals: jnp.ndarray,
