@@ -63,16 +63,22 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
     def bfs(capt, capfw, capbw):
         d0 = jnp.where(capt > eps, 1.0, _INF).astype(jnp.float32)
 
-        def cond(c):
-            return c[1]
-
-        def body(c):
-            d, _ = c
+        def relax(d):
             best = d
             for cap_out, dx, dy in out_caps(capfw, capbw):
                 nb = _shift2d(d, dx, dy, _INF)
                 best = jnp.minimum(best,
                                    jnp.where(cap_out > eps, nb + 1.0, _INF))
+            return best
+
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            d, _ = c
+            # Two relaxations per convergence check halves the cross-lane
+            # `any` reductions on the fixpoint path.
+            best = relax(relax(d))
             return best, jnp.any(best < d)
 
         d, _ = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True)))
