@@ -104,47 +104,58 @@ def weighted_median_at(labeling: np.ndarray, image_bgr: np.ndarray,
         return labeling
     k = 2 * wind_r + 1
     n = ys.size
-    # Pad to a bucketed size to limit recompiles across calls.
-    bucket = 1 << int(np.ceil(np.log2(max(n, 1024))))
-    pad = bucket - n
-    ys_p = np.pad(ys, (0, pad)).astype(np.int32)
-    xs_p = np.pad(xs, (0, pad)).astype(np.int32)
+    # Chunk + pad to bucketed sizes: per-pixel patches are [k*k]-wide rows,
+    # and small trailing dims (3/4 channels) must be kept as SEPARATE planes
+    # or the TPU tiling pads them to 128 lanes (a 32x memory blowup).
+    chunk = 8192
+    n_pad = -(-max(n, 1) // chunk) * chunk
+    ys_p = np.pad(ys, (0, n_pad - n)).astype(np.int32)
+    xs_p = np.pad(xs, (0, n_pad - n)).astype(np.int32)
 
-    out = _weighted_median_kernel(
-        jnp.asarray(labeling), jnp.asarray(image_bgr, jnp.float32),
-        jnp.asarray(ys_p), jnp.asarray(xs_p), k, float(omega))
-    out = np.asarray(out)[:n]
+    lab_planes = tuple(jnp.asarray(labeling[..., c]) for c in range(4))
+    img_planes = tuple(jnp.asarray(image_bgr[..., c], jnp.float32)
+                       for c in range(3))
+    outs = []
+    for i in range(0, n_pad, chunk):
+        outs.append(np.asarray(_weighted_median_kernel(
+            lab_planes, img_planes, jnp.asarray(ys_p[i:i + chunk]),
+            jnp.asarray(xs_p[i:i + chunk]), k, float(omega))))
+    out = np.concatenate(outs, axis=0)[:n]
     repaired = np.array(labeling)
     repaired[ys, xs] = out
     return repaired
 
 
 @functools.partial(jax.jit, static_argnames=("k", "omega"))
-def _weighted_median_kernel(labeling, image, ys, xs, k: int, omega: float):
-    h, w = labeling.shape[:2]
+def _weighted_median_kernel(lab_planes, img_planes, ys, xs, k: int,
+                            omega: float):
+    h, w = lab_planes[0].shape
     r = k // 2
+    kh, kw = min(k, h), min(k, w)  # images smaller than the window
 
     def one(y, x):
-        oy = y - r
-        ox = x - r
-        iy = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) + oy
-        ix = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1) + ox
-        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        iyc = jnp.clip(iy, 0, h - 1)
-        ixc = jnp.clip(ix, 0, w - 1)
-        flat = iyc * w + ixc
-        labs = labeling.reshape(-1, 4)[flat.reshape(-1)]          # [k*k, 4]
-        center = image[y, x]
-        patch = image.reshape(-1, 3)[flat.reshape(-1)]
-        wgt = jnp.exp(-jnp.sum(jnp.abs(patch - center), -1) / omega)
-        wgt = wgt * inside.reshape(-1)
-        d_at_p = (labs[:, 0] * x + labs[:, 1] * y + labs[:, 2])
+        # Clamped block slice always lies in-image; cells the clamp shifted
+        # in (outside the CENTERED window) are masked out below.
+        oy = jnp.clip(y - r, 0, h - kh)
+        ox = jnp.clip(x - r, 0, w - kw)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 0) + oy
+        gx = jax.lax.broadcasted_iota(jnp.int32, (kh, kw), 1) + ox
+        centered = (jnp.abs(gy - y) <= r) & (jnp.abs(gx - x) <= r)
+
+        def grab(plane):
+            return jax.lax.dynamic_slice(plane, (oy, ox),
+                                         (kh, kw)).reshape(-1)
+
+        a, b, c, v = (grab(p) for p in lab_planes)
+        l1 = sum(jnp.abs(grab(p) - p[y, x]) for p in img_planes)
+        wgt = jnp.exp(-l1 / omega) * centered.reshape(-1)
+        d_at_p = a * x + b * y + c
         order = jnp.argsort(d_at_p)
         wgt_sorted = wgt[order]
         csum = jnp.cumsum(wgt_sorted)
         half = jnp.sum(wgt) / 2.0
-        pick = jnp.argmax(csum > half)
-        return labs[order[pick]]
+        pick = order[jnp.argmax(csum > half)]
+        return jnp.stack([a[pick], b[pick], c[pick], v[pick]])
 
     return jax.vmap(one)(ys, xs)
 
