@@ -241,6 +241,12 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
             raw = unary_volume.sample_windows(
                 data.vol[mode], proposals, fox, foy, fsize,
                 cfg.min_disp, cfg.max_disp, cfg.params.th_col, cfg.interp)
+    elif cfg.max_vdisp == 0.0:
+        # Slab fast path (v-perturbation disabled, the demo configuration).
+        raw = unary_warp.sample_windows_slab(
+            data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,
+            1.0 if mode == 0 else -1.0, cfg.params.th_col,
+            cfg.params.th_grad, cfg.params.alpha, cfg.max_disp)
     else:
         raw = unary_warp.sample_windows(
             data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,

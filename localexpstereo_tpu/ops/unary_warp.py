@@ -42,6 +42,91 @@ def build_feature_image(image_bgr: np.ndarray, alpha: float) -> np.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("size", "sign", "th_col", "th_grad",
+                                    "alpha", "max_disp"))
+def sample_windows_slab(exi_self: jnp.ndarray, exi_other: jnp.ndarray,
+                        proposals: jnp.ndarray, ox: jnp.ndarray,
+                        oy: jnp.ndarray, size: int, sign: float,
+                        th_col: float, th_grad: float, alpha: float,
+                        max_disp: float) -> jnp.ndarray:
+    """Slab-based V2 matching costs (fast path, v == 0 only).
+
+    The gather formulation pays per-element index latency; here each region
+    slices a contiguous other-view slab wide enough for every reachable
+    disparity (``src_x = x - sign*d`` with d in [0, max_disp]) and evaluates
+    the bilinear sample as a dense tent-weight contraction over slab columns
+    (an MXU matvec per row). Border replication emerges from clipping the
+    target coordinate; identical to :func:`sample_windows` for v == 0.
+    """
+    h, w = exi_self.shape[:2]
+    n = proposals.shape[0]
+    m = int(np.ceil(max_disp)) + 1
+    ws = size + m
+    assert ws <= w, "image narrower than window + disparity range"
+
+    # Clamped self-window origin (shift-back at the end, volume-slab style).
+    ocx = jnp.clip(ox, 0, w - size)
+    ocy = jnp.clip(oy, 0, h - size)
+
+    def slice_self(o):
+        return jax.lax.dynamic_slice(exi_self, (o[1], o[0], 0),
+                                     (size, size, 4))
+
+    f_self = jax.vmap(slice_self)(jnp.stack([ocx, ocy], -1))
+
+    # Other-view slab covering src_x for every d in [0, max_disp].
+    sx0 = ocx - (m if sign > 0 else 0)
+    sx0 = jnp.clip(sx0, 0, w - ws)
+
+    def slice_other(o):
+        return jax.lax.dynamic_slice(exi_other, (o[1], o[0], 0),
+                                     (size, ws, 4))
+
+    f_other_slab = jax.vmap(slice_other)(jnp.stack([sx0, ocy], -1))
+
+    iy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+    xs = ocx[:, None, None].astype(jnp.float32) + ix[None]
+    ys = ocy[:, None, None].astype(jnp.float32) + iy[None]
+    a = proposals[:, 0][:, None, None]
+    b = proposals[:, 1][:, None, None]
+    c = proposals[:, 2][:, None, None]
+    d = a * xs + b * ys + c
+    src_x = jnp.clip(xs - sign * d, 0.0, float(w - 1))   # BORDER_REPLICATE
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, ws), 3)
+    col_abs = cols + sx0[:, None, None, None].astype(jnp.float32)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(col_abs - src_x[..., None]))
+
+    # [N, F(row), ws, ch] x [N, F(row), F(col), ws] -> [N, F, F, ch]
+    f_other = jnp.einsum("nrwc,nrjw->nrjc", f_other_slab, tent,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    diff = jnp.abs(f_self - f_other)
+    cost = (jnp.minimum(th_col * (1.0 - alpha),
+                        diff[..., 0] + diff[..., 1] + diff[..., 2])
+            + jnp.minimum(th_grad * alpha, diff[..., 3]))
+
+    # Shift from clamped to requested window coordinates; mask off-image.
+    cost_p = jnp.pad(cost, ((0, 0), (size, size), (size, size)))
+    offx = (ox - ocx) + size
+    offy = (oy - ocy) + size
+
+    def shift_one(args):
+        cp, oyx = args
+        return jax.lax.dynamic_slice(cp, (oyx[1], oyx[0]), (size, size))
+
+    cost = jax.vmap(shift_one)((cost_p, jnp.stack([offx, offy], -1)))
+    iyg = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    ixg = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    ysg = oy[:, None, None] + iyg[None]
+    xsg = ox[:, None, None] + ixg[None]
+    in_image = (xsg >= 0) & (xsg < w) & (ysg >= 0) & (ysg < h)
+    return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("size", "sign", "th_col", "th_grad",
                                     "alpha"))
 def sample_windows(exi_self: jnp.ndarray, exi_other: jnp.ndarray,
                    proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,

@@ -341,3 +341,29 @@ def test_volume_slab_matches_gather_path():
         jnp.asarray(vol), jnp.asarray(props), jnp.asarray(ox),
         jnp.asarray(oy), size, 0.0, float(d_ - 1), 0.7))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_slab_matches_gather_path():
+    """The V2 slab fast path must match the gather formulation wherever the
+    plane's disparity is within [0, max_disp] (the validity range)."""
+    from localexpstereo_tpu.ops import unary_warp
+    rng = np.random.default_rng(12)
+    h, w = 24, 60
+    exi0 = rng.random((h, w, 4)).astype(np.float32) * 50
+    exi1 = rng.random((h, w, 4)).astype(np.float32) * 50
+    n = 4
+    props = np.stack([
+        rng.uniform(-0.1, 0.1, n), rng.uniform(-0.1, 0.1, n),
+        rng.uniform(2.0, 8.0, n), np.zeros(n)], -1).astype(np.float32)
+    ox = np.asarray([-3, 0, 10, 40], np.int32)
+    oy = np.asarray([-2, 4, 8, 10], np.int32)
+    size = 10
+    for sign in (1.0, -1.0):
+        a = np.asarray(unary_warp.sample_windows(
+            jnp.asarray(exi0), jnp.asarray(exi1), jnp.asarray(props),
+            jnp.asarray(ox), jnp.asarray(oy), size, sign, 10.0, 2.0, 0.9))
+        b = np.asarray(unary_warp.sample_windows_slab(
+            jnp.asarray(exi0), jnp.asarray(exi1), jnp.asarray(props),
+            jnp.asarray(ox), jnp.asarray(oy), size, sign, 10.0, 2.0, 0.9,
+            max_disp=12.0))
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
