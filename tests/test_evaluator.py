@@ -1,0 +1,66 @@
+"""Evaluator integration: log rows, bad-pixel math, GT quantization,
+timer pause semantics, consistency snapshots."""
+import os
+
+import numpy as np
+import pytest
+
+from localexpstereo_tpu.config import PARAMS_GF
+from localexpstereo_tpu.models.engine import LocalExpansionSolver
+from localexpstereo_tpu.models.evaluator import Evaluator
+
+
+def _pair_with_gt():
+    rng = np.random.default_rng(7)
+    h, w, d = 20, 28, 3
+    base = rng.random((h, w + 8, 3)).astype(np.float32) * 255
+    im0, im1 = base[:, 0:w], base[:, d:d + w]
+    gt = np.full((h, w), float(d), np.float32)
+    nonocc = np.ones((h, w), bool)
+    return im0, im1, gt, nonocc
+
+
+def test_evaluator_runs_through_solver(tmp_path):
+    im0, im1, gt, nonocc = _pair_with_gt()
+    ev = Evaluator(gt, nonocc, disparity_factor=255.0 / 7,
+                   save_dir=str(tmp_path), print_progress=False)
+    ev.set_error_threshold(0.5)
+    ev.set_precision(-1.0)
+
+    s = LocalExpansionSolver(im0, im1, PARAMS_GF.replace(windR=4),
+                             max_disp=7.0, seed=0)
+    s.add_layer(4, ("expansion", "ransac"))
+    s.set_evaluator(ev)
+    s.run(iterations=1, view_modes=(0,), pm_iterations=1)
+    ev.close()
+
+    rows = open(os.path.join(str(tmp_path),
+                             "log_output.txt")).read().splitlines()
+    # header + init + 1 greedy + 1 GC
+    assert rows[0].split("\t") == ["Time", "Eng", "Data", "Smooth", "all",
+                                   "nonocc"]
+    assert len(rows) == 4
+    # energy column monotone from the greedy row to the GC row
+    eng = [float(r.split("\t")[1]) for r in rows[1:]]
+    assert eng[2] <= eng[1] + 1e-2
+    # bad-pixel rate should improve from the random init
+    bad = [float(r.split("\t")[4]) for r in rows[1:]]
+    assert bad[2] <= bad[0]
+    # debug images written (cv2 available in this env)
+    assert any(f.startswith("result0D") for f in os.listdir(str(tmp_path)))
+    # timer paused during evaluation: final accumulated time is finite, small
+    assert 0.0 <= ev.get_current_time() < 1e4
+
+
+def test_gt_quantization_applied(tmp_path):
+    """With qprecision = 0.25 a disparity of 3.1 quantizes to 3.0 and counts
+    as correct against GT 3.0 at threshold 0 (V2 GT quantization semantics,
+    Evaluator.h:106-126)."""
+    gt = np.full((4, 4), 3.0, np.float32)
+    ev = Evaluator(gt, np.ones((4, 4), bool), disparity_factor=255.0 / 7,
+                   save_dir=str(tmp_path), print_progress=False)
+    ev.set_precision(0.25)
+    disp = np.full((4, 4), 3.1, np.float32)
+    q = np.trunc(disp / ev.qprecision) * ev.qprecision
+    np.testing.assert_allclose(q, 3.0)
+    ev.close()
