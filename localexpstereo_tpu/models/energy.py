@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import COST_FOR_INVALID, Parameters
-from ..ops import guided, pairwise, unary_volume, unary_warp, validity
+from ..ops import (guided, pairwise, unary_volume, unary_warp, validity,
+                   windows)
 
 
 class EnergyData(NamedTuple):
@@ -35,7 +36,9 @@ class EnergyData(NamedTuple):
     gf_inv: jnp.ndarray    # [V, Hp, Wp, 6]
     coeff8: jnp.ndarray    # [V, 8, Hp, Wp] pairwise weights (padded, 0 margin)
     exi: Optional[jnp.ndarray]   # [V, H, W, 4] V2 feature images (unpadded)
-    vol: Optional[jnp.ndarray]   # [V, D, H, W] V3 cost volumes (unpadded)
+    vol: Optional[jnp.ndarray]   # [V, D, Hv, Wv] V3 cost volumes, spatially
+                                 # zero-padded by cfg.vol_pad on each side so
+                                 # regular-grid slab blocks slice densely
 
 
 class SolverState(NamedTuple):
@@ -59,6 +62,7 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
+    vol_pad: int = 0       # spatial zero padding of EnergyData.vol
 
 
 def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
@@ -66,7 +70,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                  min_disp: float = 0.0, max_vdisp: float = 0.0,
                  vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None,
-                 interp: int = 1):
+                 interp: int = 1, vol_pad: int = 0):
     """Builds (EnergyData, EnergyConfig) for one stereo pair.
 
     Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
@@ -98,7 +102,9 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             unary_warp.build_feature_image(im0_bgr, params.alpha),
             unary_warp.build_feature_image(im1_bgr, params.alpha)]))
     else:
-        vol = jnp.asarray(np.stack([vol0, vol1]))
+        vp = int(vol_pad)
+        vol = jnp.asarray(np.pad(np.stack([vol0, vol1]),
+                                 ((0, 0), (0, 0), (vp, vp), (vp, vp))))
 
     data = EnergyData(
         guide=jnp.asarray(np.stack(guides)),
@@ -110,7 +116,8 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
     )
     cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
                        min_disp=min_disp, max_disp=max_disp,
-                       max_vdisp=max_vdisp, interp=interp)
+                       max_vdisp=max_vdisp, interp=interp,
+                       vol_pad=int(vol_pad) if kind == "volume" else 0)
     return data, cfg
 
 
@@ -181,15 +188,63 @@ def slice_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     return gwin, mwin, iwin, fmask
 
 
+def dense_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
+                         ox: jnp.ndarray, oy: jnp.ndarray, coy, cox,
+                         s: int, nby: int, nbx: int, target_off: int,
+                         target_size: int):
+    """:func:`slice_filter_windows` for a regular color grid, extracted
+    densely (ox/oy are still needed for the in-image mask)."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    foff = target_off - r
+    oy0 = coy + (s + foff + cfg.pad)
+    ox0 = cox + (s + foff + cfg.pad)
+    t = 4 * s
+    gwin = windows.dense_windows(data.guide[mode], oy0, ox0, nby, nbx, t,
+                                 fsize)
+    mwin = windows.dense_windows(data.gf_mean[mode], oy0, ox0, nby, nbx, t,
+                                 fsize)
+    iwin = windows.dense_windows(data.gf_inv[mode], oy0, ox0, nby, nbx, t,
+                                 fsize)
+    fmask = in_image_windows(cfg, ox, oy, foff, fsize)
+    return gwin, mwin, iwin, fmask
+
+
 def slice_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                        ox: jnp.ndarray, oy: jnp.ndarray, target_off: int,
                        target_size: int):
     """Pre-slices per-region volume slabs for the filter windows (hoisted out
-    of the proposal loop when the transient fits in memory)."""
+    of the proposal loop when the transient fits in memory).
+
+    Returns ALIGNED slabs [N, D, F, F] whose (0, 0) pixel sits at the true
+    window origin ``(o + target_off - r)`` (reads into the zero margin of the
+    padded volume are don't-care: masked downstream)."""
     r = cfg.params.guided_radius
     fsize = target_size + 2 * r
-    return unary_volume.slice_slabs(data.vol[mode], ox + target_off - r,
-                                    oy + target_off - r, fsize)
+    vp = cfg.vol_pad
+    fox = ox + (target_off - r + vp)
+    foy = oy + (target_off - r + vp)
+
+    def one(o):
+        return jax.lax.dynamic_slice(
+            data.vol[mode], (0, o[1], o[0]),
+            (data.vol.shape[1], fsize, fsize))
+
+    return jax.vmap(one)(jnp.stack([fox, foy], -1))
+
+
+def dense_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
+                       coy, cox, s: int, nby: int, nbx: int,
+                       target_off: int, target_size: int):
+    """Aligned per-region volume slabs for a regular color grid, extracted
+    densely (see :mod:`..ops.windows`). Region (m, k)'s window origin is
+    ``(coy + s + target_off - r + m * 4s, ...)`` in image coords."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    oy0 = coy + (s + target_off - r + cfg.vol_pad)
+    ox0 = cox + (s + target_off - r + cfg.vol_pad)
+    return windows.dense_windows_leading(data.vol[mode], oy0, ox0, nby, nbx,
+                                         4 * s, fsize)
 
 
 def volume_slab_bytes(data: EnergyData, n_regions: int, target_size: int,
@@ -227,20 +282,26 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
 
     if cfg.kind == "volume":
         if vol_slabs is not None:
-            slab, ocx, ocy = vol_slabs
-            raw = unary_volume.sample_slabs(
-                slab, ocx, ocy, proposals, fox, foy,
-                data.vol.shape[2:], size=fsize, min_disp=cfg.min_disp,
-                th_col=cfg.params.th_col)
-        elif cfg.interp == 1:
-            # Fast slab-based linear interpolation (identical semantics).
-            raw = unary_volume.sample_windows_slab(
-                data.vol[mode], proposals, fox, foy, fsize,
-                cfg.min_disp, cfg.max_disp, cfg.params.th_col)
+            raw = unary_volume.sample_slabs_aligned(
+                vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
+                min_disp=cfg.min_disp, th_col=cfg.params.th_col)
         else:
-            raw = unary_volume.sample_windows(
-                data.vol[mode], proposals, fox, foy, fsize,
-                cfg.min_disp, cfg.max_disp, cfg.params.th_col, cfg.interp)
+            vp = cfg.vol_pad
+            vol_un = (data.vol[mode] if vp == 0 else
+                      jax.lax.slice(data.vol[mode],
+                                    (0, vp, vp),
+                                    (data.vol.shape[1], vp + cfg.height,
+                                     vp + cfg.width)))
+            if cfg.interp == 1:
+                # Fast slab-based linear interpolation (same semantics).
+                raw = unary_volume.sample_windows_slab(
+                    vol_un, proposals, fox, foy, fsize,
+                    cfg.min_disp, cfg.max_disp, cfg.params.th_col)
+            else:
+                raw = unary_volume.sample_windows(
+                    vol_un, proposals, fox, foy, fsize,
+                    cfg.min_disp, cfg.max_disp, cfg.params.th_col,
+                    cfg.interp)
     elif cfg.max_vdisp == 0.0:
         # Slab fast path (v-perturbation disabled, the demo configuration).
         raw = unary_warp.sample_windows_slab(

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Parameters
-from ..ops import mincut, mincut_pallas, pairwise, plane as plane_ops
+from ..ops import (mincut, mincut_pallas, pairwise, windows,
+                   plane as plane_ops)
 from . import energy as energy_mod
 from . import grid, proposals
 
@@ -109,6 +110,7 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     """
     s = unit_size
     ss = 3 * s
+    t4 = 4 * s
     p = cfg.pad
     cw = jnp.clip(cfg.width - ox, 1, s)
     ch = jnp.clip(cfg.height - oy, 1, s)
@@ -117,27 +119,32 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     start2 = (coy + p, cox + p)
     # Stat windows and volume slabs are proposal-independent: slice once per
     # color step (the reference's Reusable cache, StereoEnergy.h:616-626).
-    stat_windows = (energy_mod.slice_filter_windows(data, cfg, mode, ox, oy,
-                                                    -s, ss)
-                    if cfg.params.filter_name else None)
+    # All window extraction is DENSE (ops/windows.py): the color's regions
+    # form a regular grid at stride 4s, so vmapped dynamic slices (which XLA
+    # serializes) are never needed on this path.
+    stat_windows = (energy_mod.dense_filter_windows(
+        data, cfg, mode, ox, oy, coy, cox, s, nby, nbx, -s, ss)
+        if cfg.params.filter_name else None)
     vol_slabs = None
     if cfg.kind == "volume" and cfg.interp == 1:
         n_regions = ox.shape[0]
         if energy_mod.volume_slab_bytes(data, n_regions, ss,
                                         cfg.params.guided_radius) <= (2 << 30):
-            vol_slabs = energy_mod.slice_volume_slabs(data, cfg, mode, ox,
-                                                      oy, -s, ss)
+            vol_slabs = energy_mod.dense_volume_slabs(
+                data, cfg, mode, coy, cox, s, nby, nbx, -s, ss)
 
     if do_gc:
-        coeff_win = energy_mod.slice_windows_leading(
-            data.coeff8[mode], ox, oy, p, -s, ss)      # [N, 8, S, S]
+        coeff_win = windows.dense_windows_leading(
+            data.coeff8[mode], coy + p, cox + p, nby, nbx, t4,
+            ss)                                        # [N, 8, S, S]
         coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
         lam = cfg.params.lambda_
         tau = cfg.params.th_smooth
 
     for idx, step in enumerate(plan):
         k = jax.random.fold_in(key, idx)
-        cell_labels = energy_mod.slice_windows(labeling_m, ox, oy, p, 0, s)
+        cell_labels = windows.dense_windows(labeling_m, coy + p + s,
+                                            cox + p + s, nby, nbx, t4, s)
         if step[0] == "expansion":
             props = proposals.expansion(k, cell_labels, ox, oy, cw, ch)
         elif step[0] == "ransac":
@@ -150,11 +157,12 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
 
         pcost = energy_mod.unary_windows(data, cfg, mode, props, ox, oy,
                                          -s, ss, stat_windows, vol_slabs)
-        ccost = energy_mod.slice_windows(cost_m, ox, oy, p, -s, ss)
+        ccost = windows.dense_windows(cost_m, coy + p, cox + p, nby, nbx,
+                                      t4, ss)
 
         if do_gc:
-            halo = energy_mod.slice_windows(labeling_m, ox, oy, p, -s - 1,
-                                            ss + 2)
+            halo = windows.dense_windows(labeling_m, coy + p - 1,
+                                         cox + p - 1, nby, nbx, t4, ss + 2)
             tox = (ox - s).astype(jnp.float32)
             toy = (oy - s).astype(jnp.float32)
             c00, c01, c10 = jax.vmap(
@@ -350,9 +358,13 @@ class LocalExpansionSolver:
         h, w = self.im0.shape[:2]
         pad = grid.required_padding(self.unit_sizes, self.params.windR)
         self.layers = grid.build_layers(w, h, self.unit_sizes)
+        vol_pad = (grid.required_volume_padding(
+            w, h, self.unit_sizes, self.params.guided_radius)
+            if self.vol0 is not None else 0)
         self.data, self.cfg = energy_mod.build_energy(
             self.im0, self.im1, self.params, self.max_disp, pad,
-            self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp)
+            self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
+            vol_pad=vol_pad)
 
     # ------------------------------------------------------------- sweeps --
 

@@ -81,7 +81,9 @@ class Evaluator:
         lab = np.asarray(labeling_m[p:p + cfg.height, p:p + cfg.width])
         disp = np.asarray(plane_ops.disparity_map(lab))
         if self.qprecision > 0:
-            disp = np.trunc(disp / self.qprecision) * self.qprecision
+            # Reference quantize() uses convertTo(CV_32S) = cvRound =
+            # round-half-to-even (Evaluator.h:106-111); np.rint matches.
+            disp = np.rint(disp / self.qprecision) * self.qprecision
 
         all_pct = nonocc_pct = float("nan")
         if self.valid_mask is not None and self.valid_pixels > 0:

@@ -105,6 +105,22 @@ def build_layers(width: int, height: int, unit_sizes) -> List[Layer]:
     return [build_layer(width, height, s) for s in unit_sizes]
 
 
+def required_volume_padding(width: int, height: int, unit_sizes,
+                            guided_radius: int) -> int:
+    """Spatial zero padding of the cost volume so every color's filter-window
+    bounding block (see ``ops.windows``) slices in-bounds: block origins
+    reach ``-s - r`` (top-left) and block ends reach ``4s * nb + s + r``
+    (bottom-right) in image coordinates."""
+    r = guided_radius
+    vp = 0
+    for s in unit_sizes:
+        ly = build_layer(width, height, int(s))
+        vp = max(vp, s + r,
+                 4 * s * ly.nby + s + r - height,
+                 4 * s * ly.nbx + s + r - width)
+    return int(vp)
+
+
 def required_padding(unit_sizes, window_radius: int) -> int:
     """Margin for the padded global arrays: the update canvas of the largest
     layer can extend up to ~6s beyond the image on the right/bottom, and

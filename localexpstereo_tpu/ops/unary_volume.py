@@ -131,6 +131,42 @@ def sample_slabs(slab, ocx, ocy, proposals, ox, oy, hw, *, size, min_disp,
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
 
 
+def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
+                         min_disp, th_col):
+    """Tent-weight reduction over ALIGNED slabs.
+
+    Unlike :func:`sample_slabs`, the slab's (0, 0) pixel sits exactly at the
+    window origin (fox, foy) — possible origins outside the image read the
+    padded volume's zero margin, whose values are don't-care because the
+    in-image mask zeroes them here and the guided filter's fmask excludes
+    them from aggregation. Avoids the per-region realignment slice.
+
+    Args:
+      slab: [N, D, F, F] volume slabs (any float dtype; compute is f32).
+      proposals: [N, 4]; fox, foy: [N] window origins (global, may be < 0).
+    """
+    n, d_, size = slab.shape[0], slab.shape[1], slab.shape[2]
+    d0_off = float(-min_disp)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+    xs = fox[:, None, None].astype(jnp.float32) + ix[None]
+    ys = foy[:, None, None].astype(jnp.float32) + iy[None]
+    a = proposals[:, 0][:, None, None]
+    b = proposals[:, 1][:, None, None]
+    c = proposals[:, 2][:, None, None]
+    d = a * xs + b * ys + c
+    dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
+
+    dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1), 0)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid[None] - dv[:, None]))
+    cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=1)
+    cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
+    cost = jnp.minimum(cost, th_col)
+
+    in_image = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+    return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
+
+
 def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
     slab, ocx, ocy = slice_slabs(vol, ox, oy, size)
     return sample_slabs(slab, ocx, ocy, proposals, ox, oy, vol.shape[1:],

@@ -1,0 +1,80 @@
+"""Dense window extraction for regular region grids.
+
+The regions of one color set form a REGULAR grid: window (m, k) has its
+top-left at ``(oy0 + m * T, ox0 + k * T)`` with static stride ``T = 4 * s``
+and static window side ``F``. Extracting such windows with
+``vmap(dynamic_slice)`` makes XLA emit a *sequential* while loop of tiny
+slices (measured ~50% of the color-step time at the fine layer, N = 468);
+instead this module extracts all windows with dense reshape/concat ops:
+
+1. one ``dynamic_slice`` of the bounding block ``[(n-1)T + F, ...]``,
+2. per axis: pad to a multiple of T, reshape to tiles of height T, and
+   concatenate ``ceil(F / T)`` shifted tile views, keeping the first F rows —
+   window m's rows ``[mT, mT + F)`` are exactly rows ``[0, F)`` of tiles
+   ``m .. m + ceil(F/T)`` stacked.
+
+Cost: one dense copy of factor ``(F / T)^2`` overlap, no gathers, no loops.
+Used for every per-color window slice in the engine (labels, costs, halos,
+pairwise coefficients, guide statistics, volume slabs).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _extract_axis(x: jnp.ndarray, n: int, t: int, f: int,
+                  axis: int) -> jnp.ndarray:
+    """[..., (n-1)*T + F, ...] -> windows [..., n, F, ...] at stride T.
+
+    The input axis is replaced by two axes (window index n, within-window F).
+    """
+    length = x.shape[axis]
+    kp = -(-f // t)                     # tiles spanned by one window
+    pad_to = (n - 1 + kp) * t
+    if pad_to > length:
+        pw = [(0, 0)] * x.ndim
+        pw[axis] = (0, pad_to - length)
+        x = jnp.pad(x, pw)
+    elif pad_to < length:
+        x = jax.lax.slice_in_dim(x, 0, pad_to, axis=axis)
+    shape = x.shape[:axis] + (n - 1 + kp, t) + x.shape[axis + 1:]
+    x = x.reshape(shape)
+    parts = [jax.lax.slice_in_dim(x, i, i + n, axis=axis) for i in range(kp)]
+    y = parts[0] if kp == 1 else jnp.concatenate(parts, axis=axis + 1)
+    if kp * t > f:
+        y = jax.lax.slice_in_dim(y, 0, f, axis=axis + 1)
+    return y
+
+
+def dense_windows(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int, t: int,
+                  f: int) -> jnp.ndarray:
+    """[Hp, Wp, ...] -> [nby * nbx, F, F, ...] windows on a regular grid.
+
+    Window (m, k) covers rows ``[oy0 + m*T, +F)``, cols ``[ox0 + k*T, +F)``
+    (array coordinates; callers add padding/canvas offsets). ``oy0``/``ox0``
+    may be traced scalars; T, F, nby, nbx are static. The flat region index
+    is ``m * nbx + k`` (row-major), matching ``grid.Layer.color_regions``.
+    """
+    trailing = arr.shape[2:]
+    hblk = (nby - 1) * t + f
+    wblk = (nbx - 1) * t + f
+    blk = jax.lax.dynamic_slice(
+        arr, (oy0, ox0) + (0,) * len(trailing), (hblk, wblk) + trailing)
+    x = _extract_axis(blk, nby, t, f, axis=0)    # [nby, F, Wblk, ...]
+    x = _extract_axis(x, nbx, t, f, axis=2)      # [nby, F, nbx, F, ...]
+    x = jnp.moveaxis(x, 2, 1)                    # [nby, nbx, F, F, ...]
+    return x.reshape((nby * nbx, f, f) + trailing)
+
+
+def dense_windows_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
+                          t: int, f: int) -> jnp.ndarray:
+    """[C, Hp, Wp] -> [nby * nbx, C, F, F] windows on a regular grid."""
+    c = arr.shape[0]
+    hblk = (nby - 1) * t + f
+    wblk = (nbx - 1) * t + f
+    blk = jax.lax.dynamic_slice(arr, (0, oy0, ox0), (c, hblk, wblk))
+    x = _extract_axis(blk, nby, t, f, axis=1)    # [C, nby, F, Wblk]
+    x = _extract_axis(x, nbx, t, f, axis=3)      # [C, nby, F, nbx, F]
+    x = jnp.transpose(x, (1, 3, 0, 2, 4))        # [nby, nbx, C, F, F]
+    return x.reshape((nby * nbx, c, f, f))

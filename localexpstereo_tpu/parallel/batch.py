@@ -56,12 +56,15 @@ class BatchedSolver:
         pad = grid.required_padding(self.unit_sizes, params.windR)
         self.layers = grid.build_layers(w, h, self.unit_sizes)
 
+        vol_pad = (grid.required_volume_padding(
+            w, h, self.unit_sizes, params.guided_radius)
+            if vols0 is not None else 0)
         datas = []
         for b in range(self.batch):
             data, cfg = energy_mod.build_energy(
                 ims0[b], ims1[b], params, max_disp, pad, min_disp,
                 vol0=None if vols0 is None else vols0[b],
-                vol1=None if vols1 is None else vols1[b])
+                vol1=None if vols1 is None else vols1[b], vol_pad=vol_pad)
             datas.append(data)
         self.cfg = cfg
         shard = NamedSharding(mesh, P("data"))

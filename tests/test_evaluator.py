@@ -52,15 +52,42 @@ def test_evaluator_runs_through_solver(tmp_path):
     assert 0.0 <= ev.get_current_time() < 1e4
 
 
-def test_gt_quantization_applied(tmp_path):
-    """With qprecision = 0.25 a disparity of 3.1 quantizes to 3.0 and counts
-    as correct against GT 3.0 at threshold 0 (V2 GT quantization semantics,
-    Evaluator.h:106-126)."""
-    gt = np.full((4, 4), 3.0, np.float32)
+def test_gt_quantization_rounds_to_nearest(tmp_path):
+    """Quantization must ROUND to the nearest quantum, not truncate: the
+    reference's quantize() is convertTo(CV_32S) = cvRound (Evaluator.h:106-111).
+    E.g. disp 3.15 at precision 0.25 -> 3.25 (trunc would give 3.0)."""
+    gt = np.full((4, 4), 3.25, np.float32)
     ev = Evaluator(gt, np.ones((4, 4), bool), disparity_factor=255.0 / 7,
                    save_dir=str(tmp_path), print_progress=False)
     ev.set_precision(0.25)
-    disp = np.full((4, 4), 3.1, np.float32)
-    q = np.trunc(disp / ev.qprecision) * ev.qprecision
-    np.testing.assert_allclose(q, 3.0)
+    disp = np.full((4, 4), 3.15, np.float32)
+    q = np.rint(disp / ev.qprecision) * ev.qprecision
+    np.testing.assert_allclose(q, 3.25)
+    # and the evaluate() path itself uses the rounding flavor: a labeling
+    # whose disparity is 3.15 must score 0% bad at threshold 0.01 vs GT 3.25.
+    lab = np.zeros((4, 4, 4), np.float32)
+    lab[..., 2] = 3.15
+
+    class _Cfg:
+        height = 4
+        width = 4
+        pad = 0
+
+    class _Solver:
+        cfg = _Cfg()
+        data = None
+
+    ev.set_error_threshold(0.01)
+    ev.save_progress = False
+
+    import jax.numpy as jnp
+    import localexpstereo_tpu.models.engine as engine_mod
+    orig = engine_mod.energy_audit
+    engine_mod.energy_audit = lambda *a, **k: (0.0, 0.0, 0.0)
+    try:
+        ev.evaluate(_Solver(), jnp.asarray(lab), jnp.zeros((4, 4)), mode=0,
+                    index=0)
+    finally:
+        engine_mod.energy_audit = orig
+    assert ev.last_accuracy == 0.0
     ev.close()
