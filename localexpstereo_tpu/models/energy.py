@@ -35,7 +35,8 @@ class EnergyData(NamedTuple):
     gf_mean: jnp.ndarray   # [V, Hp, Wp, 3]
     gf_inv: jnp.ndarray    # [V, Hp, Wp, 6]
     coeff8: jnp.ndarray    # [V, 8, Hp, Wp] pairwise weights (padded, 0 margin)
-    exi: Optional[jnp.ndarray]   # [V, H, W, 4] V2 feature images (unpadded)
+    exi: Optional[jnp.ndarray]   # [V, He, We, 4] V2 feature images, spatially
+                                 # zero-padded by cfg.exi_pad on each side
     vol: Optional[jnp.ndarray]   # [V, D, Hv, Wv] V3 cost volumes, spatially
                                  # zero-padded by cfg.vol_pad on each side so
                                  # regular-grid slab blocks slice densely
@@ -63,6 +64,7 @@ class EnergyConfig:
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
+    exi_pad: int = 0       # spatial zero padding of EnergyData.exi
 
 
 def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
@@ -70,7 +72,8 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                  min_disp: float = 0.0, max_vdisp: float = 0.0,
                  vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None,
-                 interp: int = 1, vol_pad: int = 0):
+                 interp: int = 1, vol_pad: int = 0,
+                 vol_dtype: str = "float32"):
     """Builds (EnergyData, EnergyConfig) for one stereo pair.
 
     Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
@@ -97,14 +100,23 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         coeffs.append(pad_hw(c8, (1, 2)))
 
     exi = vol = None
+    exi_pad = 0
     if kind == "naive":
-        exi = jnp.asarray(np.stack([
+        # Pad so per-color slab blocks (windows + the other view's
+        # disparity-reach margin) always slice in-bounds (ops/windows.py).
+        exi_pad = int(vol_pad) + int(np.ceil(max_disp)) + 1
+        ep = exi_pad
+        exi = jnp.asarray(np.pad(np.stack([
             unary_warp.build_feature_image(im0_bgr, params.alpha),
-            unary_warp.build_feature_image(im1_bgr, params.alpha)]))
+            unary_warp.build_feature_image(im1_bgr, params.alpha)]),
+            ((0, 0), (ep, ep), (ep, ep), (0, 0))))
     else:
         vp = int(vol_pad)
+        # Volume storage dtype: bf16 halves HBM residency and slab bandwidth
+        # (the unary's dominant traffic); sampling/aggregation stay f32.
         vol = jnp.asarray(np.pad(np.stack([vol0, vol1]),
-                                 ((0, 0), (0, 0), (vp, vp), (vp, vp))))
+                                 ((0, 0), (0, 0), (vp, vp), (vp, vp))),
+                          dtype=jnp.dtype(vol_dtype))
 
     data = EnergyData(
         guide=jnp.asarray(np.stack(guides)),
@@ -117,7 +129,8 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
     cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
                        min_disp=min_disp, max_disp=max_disp,
                        max_vdisp=max_vdisp, interp=interp,
-                       vol_pad=int(vol_pad) if kind == "volume" else 0)
+                       vol_pad=int(vol_pad) if kind == "volume" else 0,
+                       exi_pad=exi_pad)
     return data, cfg
 
 
@@ -247,6 +260,27 @@ def dense_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                                          4 * s, fsize)
 
 
+def dense_exi_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
+                    coy, cox, s: int, nby: int, nbx: int,
+                    target_off: int, target_size: int):
+    """Aligned V2 feature slabs for a regular color grid (hoisted per color
+    step): self-view windows + other-view slabs wide enough for the full
+    disparity reach (``src_x = x - sign * d``, d in [0, max_disp])."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    ep = cfg.exi_pad
+    m = int(np.ceil(cfg.max_disp)) + 1
+    t = 4 * s
+    oy0 = coy + (s + target_off - r + ep)
+    ox0 = cox + (s + target_off - r + ep)
+    f_self = windows.dense_windows(data.exi[mode], oy0, ox0, nby, nbx, t,
+                                   fsize)
+    ox0s = ox0 - (m if mode == 0 else 0)
+    f_other = windows.dense_windows(data.exi[1 - mode], oy0, ox0s, nby, nbx,
+                                    t, fsize, fx=fsize + m)
+    return f_self, f_other
+
+
 def volume_slab_bytes(data: EnergyData, n_regions: int, target_size: int,
                       guided_radius: int) -> int:
     d_ = data.vol.shape[1]
@@ -257,7 +291,8 @@ def volume_slab_bytes(data: EnergyData, n_regions: int, target_size: int,
 def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                   target_off: int, target_size: int,
-                  stat_windows=None, vol_slabs=None) -> jnp.ndarray:
+                  stat_windows=None, vol_slabs=None,
+                  exi_slabs=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -302,17 +337,28 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                     vol_un, proposals, fox, foy, fsize,
                     cfg.min_disp, cfg.max_disp, cfg.params.th_col,
                     cfg.interp)
-    elif cfg.max_vdisp == 0.0:
-        # Slab fast path (v-perturbation disabled, the demo configuration).
-        raw = unary_warp.sample_windows_slab(
-            data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,
-            1.0 if mode == 0 else -1.0, cfg.params.th_col,
-            cfg.params.th_grad, cfg.params.alpha, cfg.max_disp)
+    elif exi_slabs is not None:
+        f_self, f_other = exi_slabs
+        raw = unary_warp.sample_exi_slabs_aligned(
+            f_self, f_other, proposals, fox, foy, cfg.height, cfg.width,
+            sign=1.0 if mode == 0 else -1.0, th_col=cfg.params.th_col,
+            th_grad=cfg.params.th_grad, alpha=cfg.params.alpha,
+            m=int(np.ceil(cfg.max_disp)) + 1)
     else:
-        raw = unary_warp.sample_windows(
-            data.exi[mode], data.exi[1 - mode], proposals, fox, foy, fsize,
-            1.0 if mode == 0 else -1.0, cfg.params.th_col,
-            cfg.params.th_grad, cfg.params.alpha)
+        ep = cfg.exi_pad
+        exi_un = (data.exi if ep == 0 else
+                  data.exi[:, ep:ep + cfg.height, ep:ep + cfg.width])
+        if cfg.max_vdisp == 0.0:
+            # Slab fast path (v-perturbation disabled, the demo config).
+            raw = unary_warp.sample_windows_slab(
+                exi_un[mode], exi_un[1 - mode], proposals, fox, foy, fsize,
+                1.0 if mode == 0 else -1.0, cfg.params.th_col,
+                cfg.params.th_grad, cfg.params.alpha, cfg.max_disp)
+        else:
+            raw = unary_warp.sample_windows(
+                exi_un[mode], exi_un[1 - mode], proposals, fox, foy, fsize,
+                1.0 if mode == 0 else -1.0, cfg.params.th_col,
+                cfg.params.th_grad, cfg.params.alpha)
 
     if cfg.params.filter_name in ("GF", "GFfloat"):
         if stat_windows is None:

@@ -85,17 +85,13 @@ def _to_canvas(x: jnp.ndarray, nby: int, nbx: int, s: int) -> jnp.ndarray:
     return x.reshape(nby * 4 * s, nbx * 4 * s, *trail)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
-                     "mode"))
-def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
-               labeling_m: jnp.ndarray, cost_m: jnp.ndarray,
-               ox: jnp.ndarray, oy: jnp.ndarray, rmask: jnp.ndarray,
-               cox: jnp.ndarray, coy: jnp.ndarray,
-               dzs: jnp.ndarray, nrs: jnp.ndarray, key: jax.Array,
-               *, unit_size: int, nbx: int, nby: int, plan: tuple,
-               do_gc: bool, mode: int):
+def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
+                labeling_m: jnp.ndarray, cost_m: jnp.ndarray,
+                ox: jnp.ndarray, oy: jnp.ndarray, rmask: jnp.ndarray,
+                cox: jnp.ndarray, coy: jnp.ndarray,
+                dzs: jnp.ndarray, nrs: jnp.ndarray, key: jax.Array,
+                *, unit_size: int, nbx: int, nby: int, plan: tuple,
+                do_gc: bool, mode: int):
     """Runs the full proposal plan of one (layer, color) for one view.
 
     Equivalent to the body of ``localExpansionMovesForLayer_CPU``
@@ -125,21 +121,28 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     stat_windows = (energy_mod.dense_filter_windows(
         data, cfg, mode, ox, oy, coy, cox, s, nby, nbx, -s, ss)
         if cfg.params.filter_name else None)
-    vol_slabs = None
+    vol_slabs = exi_slabs = None
     if cfg.kind == "volume" and cfg.interp == 1:
         n_regions = ox.shape[0]
         if energy_mod.volume_slab_bytes(data, n_regions, ss,
                                         cfg.params.guided_radius) <= (2 << 30):
             vol_slabs = energy_mod.dense_volume_slabs(
                 data, cfg, mode, coy, cox, s, nby, nbx, -s, ss)
+    elif cfg.kind == "naive" and cfg.max_vdisp == 0.0:
+        exi_slabs = energy_mod.dense_exi_slabs(
+            data, cfg, mode, coy, cox, s, nby, nbx, -s, ss)
 
     if do_gc:
         coeff_win = windows.dense_windows_leading(
             data.coeff8[mode], coy + p, cox + p, nby, nbx, t4,
             ss)                                        # [N, 8, S, S]
-        coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
         lam = cfg.params.lambda_
         tau = cfg.params.th_smooth
+        use_fused = (cfg.mincut_backend == "pallas"
+                     or (cfg.mincut_backend == "auto"
+                         and jax.default_backend() == "tpu"))
+        if not use_fused:
+            coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
 
     for idx, step in enumerate(plan):
         k = jax.random.fold_in(key, idx)
@@ -156,7 +159,8 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 cfg.min_disp, cfg.max_disp, cfg.max_vdisp)
 
         pcost = energy_mod.unary_windows(data, cfg, mode, props, ox, oy,
-                                         -s, ss, stat_windows, vol_slabs)
+                                         -s, ss, stat_windows, vol_slabs,
+                                         exi_slabs)
         ccost = windows.dense_windows(cost_m, coy + p, cox + p, nby, nbx,
                                       t4, ss)
 
@@ -165,21 +169,28 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                                          cox + p - 1, nby, nbx, t4, ss + 2)
             tox = (ox - s).astype(jnp.float32)
             toy = (oy - s).astype(jnp.float32)
-            c00, c01, c10 = jax.vmap(
-                lambda hl, pr, cf, x0, y0: pairwise.expansion_tables(
-                    hl, pr, cf, x0, y0, lam, tau)
-            )(halo, props, coeff_fwd, tox, toy)
-            t0b, t1b = jax.vmap(
-                lambda hl, pr, cf, x0, y0: pairwise.boundary_tlinks(
-                    hl, pr, cf, x0, y0, lam, tau)
-            )(halo, props, coeff_win, tox, toy)
-            accept = _mincut_dispatch(cfg, ccost + t0b, pcost + t1b,
-                                      c00, c01, c10)
-            # Monotonicity guard (cf. FastGCStereo.h:561-594): reject any
-            # region whose move would not decrease its energy.
-            delta = mincut.move_energy_delta(accept, ccost + t0b,
-                                             pcost + t1b, c00, c01, c10)
-            accept &= (delta <= 0.0)[:, None, None]
+            if use_fused:
+                # Fused Pallas kernel: tables + boundary t-links + graph +
+                # solve + exact energy guard in one VMEM-resident pass.
+                accept = mincut_pallas.expansion_accept_pallas(
+                    halo, props, tox, toy, coeff_win, ccost, pcost,
+                    lam=lam, tau=tau)
+            else:
+                c00, c01, c10 = jax.vmap(
+                    lambda hl, pr, cf, x0, y0: pairwise.expansion_tables(
+                        hl, pr, cf, x0, y0, lam, tau)
+                )(halo, props, coeff_fwd, tox, toy)
+                t0b, t1b = jax.vmap(
+                    lambda hl, pr, cf, x0, y0: pairwise.boundary_tlinks(
+                        hl, pr, cf, x0, y0, lam, tau)
+                )(halo, props, coeff_win, tox, toy)
+                accept = mincut.mincut_accept(ccost + t0b, pcost + t1b,
+                                              c00, c01, c10)
+                # Monotonicity guard (cf. FastGCStereo.h:561-594): reject any
+                # region whose move would not decrease its energy.
+                delta = mincut.move_energy_delta(accept, ccost + t0b,
+                                                 pcost + t1b, c00, c01, c10)
+                accept &= (delta <= 0.0)[:, None, None]
         else:
             accept = mincut.greedy_accept(ccost, pcost)
 
@@ -201,6 +212,50 @@ def color_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             labeling_m, jnp.where(acc_c[..., None], lab_c, cur_lab),
             start2 + (0,))
 
+    return labeling_m, cost_m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
+                     "mode"))
+def color_step(data, cfg, labeling_m, cost_m, ox, oy, rmask, cox, coy,
+               dzs, nrs, key, *, unit_size, nbx, nby, plan, do_gc, mode):
+    """One (layer, color) proposal plan as a standalone dispatch (kept for
+    tests and incremental debugging; the engine uses :func:`layer_sweep`)."""
+    return _color_body(data, cfg, labeling_m, cost_m, ox, oy, rmask, cox,
+                       coy, dzs, nrs, key, unit_size=unit_size, nbx=nbx,
+                       nby=nby, plan=plan, do_gc=do_gc, mode=mode)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
+                     "mode"))
+def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
+                labeling_m: jnp.ndarray, cost_m: jnp.ndarray,
+                oxs: jnp.ndarray, oys: jnp.ndarray, rmasks: jnp.ndarray,
+                coxs: jnp.ndarray, coys: jnp.ndarray,
+                dzs: jnp.ndarray, nrs: jnp.ndarray, keys: jax.Array,
+                *, unit_size: int, nbx: int, nby: int, plan: tuple,
+                do_gc: bool, mode: int):
+    """ALL color steps of one layer in ONE dispatch: ``lax.scan`` over the
+    color sequence (the reference's sequential j = 0..15 loop,
+    ``FastGCStereo.h:26``). Inputs are stacked per color on a leading axis
+    [C, ...]; the proposal plan is identical across colors of a layer, so the
+    scan body traces once."""
+
+    def body(carry, xs):
+        lab, cost = carry
+        ox, oy, rmask, cox, coy, key = xs
+        lab, cost = _color_body(data, cfg, lab, cost, ox, oy, rmask,
+                                cox, coy, dzs, nrs, key,
+                                unit_size=unit_size, nbx=nbx, nby=nby,
+                                plan=plan, do_gc=do_gc, mode=mode)
+        return (lab, cost), None
+
+    (labeling_m, cost_m), _ = jax.lax.scan(
+        body, (labeling_m, cost_m), (oxs, oys, rmasks, coxs, coys, keys))
     return labeling_m, cost_m
 
 
@@ -326,7 +381,7 @@ class LocalExpansionSolver:
                  params: Parameters, max_disp: float, min_disp: float = 0.0,
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
-                 interp: int = 1):
+                 interp: int = 1, vol_dtype: str = "bfloat16"):
         self.im0 = np.asarray(im0_bgr, np.float32)
         self.im1 = np.asarray(im1_bgr, np.float32)
         self.params = params
@@ -336,6 +391,7 @@ class LocalExpansionSolver:
         self.vol0 = vol0
         self.vol1 = vol1
         self.interp = interp
+        self.vol_dtype = vol_dtype
         self.seed = seed
         self.unit_sizes: List[int] = []
         self.layer_proposers: List[Tuple[str, ...]] = []
@@ -358,13 +414,13 @@ class LocalExpansionSolver:
         h, w = self.im0.shape[:2]
         pad = grid.required_padding(self.unit_sizes, self.params.windR)
         self.layers = grid.build_layers(w, h, self.unit_sizes)
-        vol_pad = (grid.required_volume_padding(
+        # Geometric slab padding (volume or V2 feature images alike).
+        vol_pad = grid.required_volume_padding(
             w, h, self.unit_sizes, self.params.guided_radius)
-            if self.vol0 is not None else 0)
         self.data, self.cfg = energy_mod.build_energy(
             self.im0, self.im1, self.params, self.max_disp, pad,
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
-            vol_pad=vol_pad)
+            vol_pad=vol_pad, vol_dtype=self.vol_dtype)
 
     # ------------------------------------------------------------- sweeps --
 
@@ -381,17 +437,24 @@ class LocalExpansionSolver:
                 for i in range(max(n_random, 1))], np.float32)
             nrs = np.asarray([0.5 ** (outer_iter + i)
                               for i in range(max(n_random, 1))], np.float32)
+            oxs, oys, rmasks, coxs, coys, keys = [], [], [], [], [], []
             for ci, (i0, j0) in enumerate(layer.colors):
                 ox, oy, rmask = layer.color_regions(i0, j0)
                 cox, coy = layer.canvas_origin(i0, j0)
-                k = jax.random.fold_in(key, li * 100 + ci)
-                labeling_m, cost_m = color_step(
-                    self.data, self.cfg, labeling_m, cost_m,
-                    jnp.asarray(ox), jnp.asarray(oy), jnp.asarray(rmask),
-                    jnp.int32(cox), jnp.int32(coy),
-                    jnp.asarray(dzs), jnp.asarray(nrs), k,
-                    unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
-                    plan=plan, do_gc=do_gc, mode=mode)
+                oxs.append(ox)
+                oys.append(oy)
+                rmasks.append(rmask)
+                coxs.append(cox)
+                coys.append(coy)
+                keys.append(jax.random.fold_in(key, li * 100 + ci))
+            labeling_m, cost_m = layer_sweep(
+                self.data, self.cfg, labeling_m, cost_m,
+                jnp.asarray(np.stack(oxs)), jnp.asarray(np.stack(oys)),
+                jnp.asarray(np.stack(rmasks)),
+                jnp.asarray(coxs, jnp.int32), jnp.asarray(coys, jnp.int32),
+                jnp.asarray(dzs), jnp.asarray(nrs), jnp.stack(keys),
+                unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
+                plan=plan, do_gc=do_gc, mode=mode)
         return labeling_m, cost_m
 
     # --------------------------------------------------------------- run --

@@ -1,17 +1,22 @@
-"""Pallas TPU kernel: VMEM-resident push-relabel min-cut.
+"""Pallas TPU kernels: VMEM-resident push-relabel min-cut.
 
-The XLA implementation in :mod:`mincut` re-reads its 11 state planes from HBM
-on every push/relabel sweep (~1000 sweeps per solve); this kernel keeps the
-entire region state in VMEM scratch and runs the full solve — global-relabel
-BFS rounds + push/relabel sweeps + final cut extraction — inside ONE kernel
-invocation per region, so HBM sees each plane exactly once. Memory footprint
-per region: 6 input planes + 7 state planes at [S, lanes], which fits VMEM up
-to the largest layer the MiddV3 schedule produces (S = 3 * 0.09 * W).
+Two kernels share one solver core (global-relabel BFS rounds + push/relabel
+sweeps + residual-BFS cut extraction), all state VMEM-resident so HBM sees
+each plane exactly once per solve:
 
-Same semantics as :func:`mincut.mincut_accept`: accept = source side = nodes
-that cannot reach the sink in the final residual graph. The backward residual
-capacity is reconstructed as ``fw0 - cap_fw`` (initial reverse caps are 0),
-which removes 4 carried planes.
+- :func:`mincut_accept_pallas`: drop-in replacement for
+  :func:`mincut.mincut_accept` — takes prebuilt (t0, t1, c00, c01, c10).
+- :func:`expansion_accept_pallas`: the FUSED expansion move. Pairwise-table
+  construction (``StereoEnergy.h:398-453``), boundary t-link absorption
+  (``FastGCStereo.h:440-477``), submodular graph build
+  (``FastGCStereo.h:479-551``), the min-cut solve, AND the exact
+  energy-delta guard all run inside one kernel invocation: inputs are just
+  the halo disparity/slope maps, per-region proposal planes, pairwise
+  coefficients, and the two unary cost planes. This removes ~26 HBM plane
+  round-trips per proposal that the split XLA pipeline paid.
+
+The backward residual capacity is reconstructed as ``fw0 - cap_fw`` (initial
+reverse caps are 0), which removes 4 carried planes.
 """
 from __future__ import annotations
 
@@ -24,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import mincut as mincut_xla
+from . import pairwise
 
 _INF = 3e38  # python literal: Pallas kernels cannot capture array constants
 
@@ -47,7 +53,9 @@ def _shift2d(x: jnp.ndarray, dx: int, dy: int, fill) -> jnp.ndarray:
     return out
 
 
-def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
+def _solver_core(s: int, max_global_rounds: int, sweeps_per_round: int):
+    """Returns (solve, bfs): the push-relabel fixpoint machinery on
+    [B, S, S] blocks, shared by both kernels."""
     hmax = float(s * s + 2)
     eps = 1e-7
     dirs = mincut_xla.EDGE_DIRS
@@ -128,10 +136,9 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
         h = jnp.where(active & (~could_push), jnp.maximum(h, new_h), h)
         return e, h, capt, capfw
 
-    def kernel(e0_ref, capt0_ref, fw0_ref, accept_ref):
-        e0 = e0_ref[...]
-        capt0 = capt0_ref[...]
-        fw0 = tuple(fw0_ref[:, k] for k in range(4))
+    def solve(e0, capt0, fw0):
+        """Runs the preflow to termination; returns the accept mask (source
+        side: cannot reach the sink in the final residual graph), bool."""
 
         def round_body(carry):
             e, h, capt, capfw, _, rounds = carry
@@ -158,16 +165,163 @@ def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
             return live & (rounds < max_global_rounds)
 
         h0 = jnp.zeros_like(e0)
-        capfw0 = fw0
         e, h, capt, capfw, _, _ = jax.lax.while_loop(
             round_cond, round_body,
-            (e0, h0, capt0, capfw0, jnp.bool_(True), jnp.int32(0)))
+            (e0, h0, capt0, tuple(fw0), jnp.bool_(True), jnp.int32(0)))
 
         capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
         dist = bfs(capt, capfw, capbw)
-        accept_ref[...] = (dist >= hmax).astype(jnp.int8)
+        return dist >= hmax
+
+    return solve
+
+
+def _edge_masks_iota(s: int):
+    """[4][1, S, S] f32: edge (p, p + dir) lies inside the window. Built from
+    iota so Pallas kernels don't capture array constants."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 2)
+    masks = []
+    for dx, dy in mincut_xla.EDGE_DIRS:
+        m = ((ix + dx >= 0) & (ix + dx < s) & (iy + dy >= 0)
+             & (iy + dy < s))
+        masks.append(m.astype(jnp.float32))
+    return masks
+
+
+def _make_kernel(s: int, max_global_rounds: int, sweeps_per_round: int):
+    solve = _solver_core(s, max_global_rounds, sweeps_per_round)
+
+    def kernel(e0_ref, capt0_ref, fw0_ref, accept_ref):
+        e0 = e0_ref[...]
+        capt0 = capt0_ref[...]
+        fw0 = tuple(fw0_ref[:, k] for k in range(4))
+        accept = solve(e0, capt0, fw0)
+        accept_ref[...] = accept.astype(jnp.int8)
 
     return kernel
+
+
+def _make_expansion_kernel(s: int, lam: float, tau: float,
+                           max_global_rounds: int, sweeps_per_round: int):
+    """Fused kernel: tables + boundary t-links + graph + solve + guard.
+
+    Block inputs (leading dim b = regions packed per program):
+      d0h, ah, bh: [b, S+2, S+2] current-label disparity / slope maps on the
+        haloed window (d0h[q] = disparity of label at q, evaluated at q).
+      props: [b, 4] proposal planes; orig: [b, 2] window origins (x, y).
+      coeff8: [b, 8, S, S]; ccost, pcost: [b, S, S].
+    Output: accept int8 [b, S, S], already zeroed for regions whose exact
+    energy delta would be positive (the monotonicity guard,
+    cf. ``FastGCStereo.h:561-594``).
+    """
+    solve = _solver_core(s, max_global_rounds, sweeps_per_round)
+    dirs = mincut_xla.EDGE_DIRS       # forward table order (GE, EG, LG, GG)
+    fwd_idx = pairwise.FORWARD
+
+    def kernel(d0h_ref, d1h_ref, ah_ref, bh_ref, coeff_ref,
+               ccost_ref, pcost_ref, accept_ref, rl_ref):
+        emasks = _edge_masks_iota(s)
+
+        def at_off(ref, dx, dy):
+            # Shifted window reads carry a lane-offset layout that Mosaic
+            # propagates through arithmetic and cannot reconcile in the
+            # concatenates `_shift2d` emits; a VMEM scratch round-trip
+            # normalizes to the standard layout (VMEM-local, ~free).
+            rl_ref[...] = ref[:, 1 + dy:1 + dy + s, 1 + dx:1 + dx + s]
+            return rl_ref[...]
+
+        d0 = at_off(d0h_ref, 0, 0)
+        d1 = at_off(d1h_ref, 0, 0)
+        a0 = at_off(ah_ref, 0, 0)
+        b0 = at_off(bh_ref, 0, 0)
+
+        # ---- pairwise tables for the 4 forward neighbors ------------------
+        c00s, c01s, c10s = [], [], []
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            d0q = at_off(d0h_ref, dx, dy)
+            aq = at_off(ah_ref, dx, dy)
+            bq = at_off(bh_ref, dx, dy)
+            d_le_ee = d0q - (aq * dx + bq * dy)   # lab(q)'s disparity at p
+            d_ee_le = d0 + a0 * dx + b0 * dy      # lab(p)'s disparity at q
+            d1q = at_off(d1h_ref, dx, dy)
+            w = coeff_ref[:, k] * lam
+            c00s.append(jnp.minimum(jnp.abs(d0 - d_le_ee)
+                                    + jnp.abs(d_ee_le - d0q), tau) * w)
+            c01s.append(jnp.minimum(jnp.abs(d0 - d1)
+                                    + jnp.abs(d_ee_le - d1q), tau) * w)
+            c10s.append(jnp.minimum(jnp.abs(d1 - d_le_ee)
+                                    + jnp.abs(d1q - d0q), tau) * w)
+
+        # ---- boundary t-links over all 8 neighbors -------------------------
+        t0b = jnp.zeros_like(d0)
+        t1b = jnp.zeros_like(d0)
+        for k, (dx, dy) in enumerate(pairwise.NEIGHBORS):
+            iy_i = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 1)
+            ix_i = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 2)
+            outside = ((ix_i + dx < 0) | (ix_i + dx >= s) | (iy_i + dy < 0)
+                       | (iy_i + dy >= s))
+            d0q = at_off(d0h_ref, dx, dy)
+            aq = at_off(ah_ref, dx, dy)
+            bq = at_off(bh_ref, dx, dy)
+            dq_p = d0q - (aq * dx + bq * dy)
+            d0_q = d0 + a0 * dx + b0 * dy
+            d1_q = at_off(d1h_ref, dx, dy)
+            w = jnp.where(outside, coeff_ref[:, k], 0.0) * lam
+            t0b += jnp.minimum(jnp.abs(d0 - dq_p) + jnp.abs(d0_q - d0q),
+                               tau) * w
+            t1b += jnp.minimum(jnp.abs(d1 - dq_p) + jnp.abs(d1_q - d0q),
+                               tau) * w
+
+        t0 = ccost_ref[...] + t0b
+        t1 = pcost_ref[...] + t1b
+
+        # ---- submodular graph build (FastGCStereo.h:479-551) --------------
+        sigma = t0
+        fw0 = []
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            em = emasks[i]
+            c = c01s[i] * em
+            d_minus_c = (c00s[i] - c01s[i]) * em
+            sigma = sigma + c + _shift2d(d_minus_c, -dx, -dy, 0.0)
+            cap = jnp.maximum(0.0, c10s[i] + c01s[i] - c00s[i])
+            fw0.append(cap * em)
+        nu = sigma - t1
+        e0 = jnp.maximum(nu, 0.0)
+        capt0 = jnp.maximum(-nu, 0.0)
+
+        accept = solve(e0, capt0, tuple(fw0))
+
+        # ---- exact per-region energy-delta guard ---------------------------
+        xm = accept.astype(jnp.float32)
+        contrib = (t1 - t0) * xm
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            em = emasks[i]
+            xq = _shift2d(xm, dx, dy, 0.0)
+            pair = (c00s[i] * (1 - xm) * (1 - xq) + c01s[i] * (1 - xm) * xq
+                    + c10s[i] * xm * (1 - xq))
+            contrib = contrib + (pair - c00s[i]) * em
+        # Sequential single-axis keepdims sums: Mosaic crashes on the
+        # multi-axis form (layout_rank check) and on rank-1 vectors.
+        delta = jnp.sum(jnp.sum(contrib, axis=2, keepdims=True), axis=1,
+                        keepdims=True)
+        ok = delta <= 0.0
+        accept_ref[...] = (accept & ok).astype(jnp.int8)
+
+    return kernel
+
+
+def _pack(s: int, n: int, budget_bytes: int, planes: int, cap: int = 16):
+    """Regions per kernel program under a VMEM budget."""
+    lanes = -(-s // 128) * 128
+    sublanes = -(-s // 8) * 8
+    per_region = planes * sublanes * lanes * 4
+    b = int(max(1, min(cap, budget_bytes // max(per_region, 1))))
+    n_pad = -(-n // b) * b
+    return b, n_pad
 
 
 @functools.partial(jax.jit, static_argnames=("max_global_rounds",
@@ -187,14 +341,7 @@ def mincut_accept_pallas(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
 
     e, cap_t, cap_fw = mincut_xla.build_graph(t0, t1, c00, c01, c10)
 
-    # Pack several regions per kernel program: amortizes loop overhead and
-    # fills the VPU at small S. Budget ~4 MB of VMEM for the solver state
-    # (11 planes + double-buffered inputs).
-    lanes = -(-s // 128) * 128
-    sublanes = -(-s // 8) * 8
-    per_region = 11 * sublanes * lanes * 4
-    b = int(max(1, min(16, (4 << 20) // max(per_region, 1))))
-    n_pad = -(-n // b) * b
+    b, n_pad = _pack(s, n, 4 << 20, planes=11)
     if n_pad != n:
         padw = [(0, n_pad - n)] + [(0, 0)] * 2
         e = jnp.pad(e, padw)
@@ -220,4 +367,87 @@ def mincut_accept_pallas(t0: jnp.ndarray, t1: jnp.ndarray, c00: jnp.ndarray,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(e, cap_t, cap_fw)
+    return accept[:n] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "tau",
+                                             "max_global_rounds",
+                                             "sweeps_per_round",
+                                             "interpret"))
+def expansion_accept_pallas(halo: jnp.ndarray, props: jnp.ndarray,
+                            tox: jnp.ndarray, toy: jnp.ndarray,
+                            coeff8: jnp.ndarray, ccost: jnp.ndarray,
+                            pcost: jnp.ndarray, *, lam: float, tau: float,
+                            max_global_rounds: int = 64,
+                            sweeps_per_round: int = 0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused expansion move: pairwise tables, boundary t-links, graph build,
+    min-cut solve, and the exact energy guard in ONE kernel.
+
+    Args:
+      halo: [N, S+2, S+2, 4] current labels of the move window + 1-px halo.
+      props: [N, 4] proposal planes.
+      tox, toy: [N] global coords of each window's (0, 0) pixel.
+      coeff8: [N, 8, S, S] pairwise weights at p for all 8 directions.
+      ccost, pcost: [N, S, S] current / proposal unary (with validity).
+    Returns:
+      accept: [N, S, S] bool, guarded so applying it never increases the
+      region energy.
+    """
+    n = halo.shape[0]
+    s = halo.shape[1] - 2
+    if sweeps_per_round == 0:
+        sweeps_per_round = 16
+
+    # Halo disparity / slope maps (cheap XLA elementwise, fused upstream).
+    hx = (tox[:, None, None].astype(jnp.float32) - 1.0
+          + jax.lax.broadcasted_iota(jnp.float32, (1, s + 2, s + 2), 2))
+    hy = (toy[:, None, None].astype(jnp.float32) - 1.0
+          + jax.lax.broadcasted_iota(jnp.float32, (1, s + 2, s + 2), 1))
+    d0h = halo[..., 0] * hx + halo[..., 1] * hy + halo[..., 2]
+    d1h = (props[:, 0, None, None] * hx + props[:, 1, None, None] * hy
+           + props[:, 2, None, None])
+    ah = halo[..., 0]
+    bh = halo[..., 1]
+
+    # ~36 live planes: 3 halo + 8 coeff + 2 cost + 12 tables + 11 solver.
+    b, n_pad = _pack(s, n, 24 << 20, planes=36)
+    if n_pad != n:
+        def padn(x, extra_dims):
+            return jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * extra_dims)
+        d0h, ah, bh = padn(d0h, 2), padn(ah, 2), padn(bh, 2)
+        d1h = padn(d1h, 2)
+        coeff8 = padn(coeff8, 3)
+        ccost, pcost = padn(ccost, 2), padn(pcost, 2)
+
+    kernel = _make_expansion_kernel(s, float(lam), float(tau),
+                                    max_global_rounds, sweeps_per_round)
+    h2 = s + 2
+    accept = pl.pallas_call(
+        kernel,
+        grid=(n_pad // b,),
+        in_specs=[
+            pl.BlockSpec((b, h2, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h2, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h2, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h2, h2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8, s, s), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, s, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s, s), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((b, s, s), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(d0h, d1h, ah, bh, coeff8, ccost, pcost)
     return accept[:n] > 0

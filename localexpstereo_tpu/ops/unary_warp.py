@@ -125,6 +125,50 @@ def sample_windows_slab(exi_self: jnp.ndarray, exi_other: jnp.ndarray,
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
 
 
+def sample_exi_slabs_aligned(f_self: jnp.ndarray, f_other_slab: jnp.ndarray,
+                             proposals: jnp.ndarray, fox: jnp.ndarray,
+                             foy: jnp.ndarray, height: int, width: int, *,
+                             sign: float, th_col: float, th_grad: float,
+                             alpha: float, m: int) -> jnp.ndarray:
+    """V2 matching costs from pre-sliced ALIGNED feature slabs (v == 0).
+
+    Proposal-independent slabs are hoisted once per color step:
+      f_self: [N, F, F, 4] self-view feature windows at origins (fox, foy);
+      f_other_slab: [N, F, F + m, 4] other-view slab starting at column
+        ``fox - m`` (left view, sign > 0) or ``fox`` (right view).
+    Out-of-image slab content is the padded zero margin — don't-care, since
+    ``src_x`` is clipped to the real image columns and out-of-image window
+    pixels are masked.
+    """
+    n, size = f_self.shape[0], f_self.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+    xs = fox[:, None, None].astype(jnp.float32) + ix[None]
+    ys = foy[:, None, None].astype(jnp.float32) + iy[None]
+    a = proposals[:, 0][:, None, None]
+    b = proposals[:, 1][:, None, None]
+    c = proposals[:, 2][:, None, None]
+    d = a * xs + b * ys + c
+    src_x = jnp.clip(xs - sign * d, 0.0, float(width - 1))
+
+    ws = f_other_slab.shape[2]
+    sx0 = fox - (m if sign > 0 else 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, ws), 3)
+    col_abs = cols + sx0[:, None, None, None].astype(jnp.float32)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(col_abs - src_x[..., None]))
+
+    f_other = jnp.einsum("nrwc,nrjw->nrjc", f_other_slab, tent,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    diff = jnp.abs(f_self - f_other)
+    cost = (jnp.minimum(th_col * (1.0 - alpha),
+                        diff[..., 0] + diff[..., 1] + diff[..., 2])
+            + jnp.minimum(th_grad * alpha, diff[..., 3]))
+    in_image = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+    return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("size", "sign", "th_col", "th_grad",
                                     "alpha"))

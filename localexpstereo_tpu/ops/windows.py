@@ -48,23 +48,25 @@ def _extract_axis(x: jnp.ndarray, n: int, t: int, f: int,
 
 
 def dense_windows(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int, t: int,
-                  f: int) -> jnp.ndarray:
-    """[Hp, Wp, ...] -> [nby * nbx, F, F, ...] windows on a regular grid.
+                  f: int, fx: int = 0) -> jnp.ndarray:
+    """[Hp, Wp, ...] -> [nby * nbx, F, Fx, ...] windows on a regular grid.
 
-    Window (m, k) covers rows ``[oy0 + m*T, +F)``, cols ``[ox0 + k*T, +F)``
-    (array coordinates; callers add padding/canvas offsets). ``oy0``/``ox0``
-    may be traced scalars; T, F, nby, nbx are static. The flat region index
-    is ``m * nbx + k`` (row-major), matching ``grid.Layer.color_regions``.
+    Window (m, k) covers rows ``[oy0 + m*T, +F)``, cols ``[ox0 + k*T, +Fx)``
+    (array coordinates; callers add padding/canvas offsets; Fx defaults to
+    F). ``oy0``/``ox0`` may be traced scalars; T, F, nby, nbx are static.
+    The flat region index is ``m * nbx + k`` (row-major), matching
+    ``grid.Layer.color_regions``.
     """
+    fx = fx or f
     trailing = arr.shape[2:]
     hblk = (nby - 1) * t + f
-    wblk = (nbx - 1) * t + f
+    wblk = (nbx - 1) * t + fx
     blk = jax.lax.dynamic_slice(
         arr, (oy0, ox0) + (0,) * len(trailing), (hblk, wblk) + trailing)
     x = _extract_axis(blk, nby, t, f, axis=0)    # [nby, F, Wblk, ...]
-    x = _extract_axis(x, nbx, t, f, axis=2)      # [nby, F, nbx, F, ...]
-    x = jnp.moveaxis(x, 2, 1)                    # [nby, nbx, F, F, ...]
-    return x.reshape((nby * nbx, f, f) + trailing)
+    x = _extract_axis(x, nbx, t, fx, axis=2)     # [nby, F, nbx, Fx, ...]
+    x = jnp.moveaxis(x, 2, 1)                    # [nby, nbx, F, Fx, ...]
+    return x.reshape((nby * nbx, f, fx) + trailing)
 
 
 def dense_windows_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,

@@ -56,9 +56,8 @@ class BatchedSolver:
         pad = grid.required_padding(self.unit_sizes, params.windR)
         self.layers = grid.build_layers(w, h, self.unit_sizes)
 
-        vol_pad = (grid.required_volume_padding(
+        vol_pad = grid.required_volume_padding(
             w, h, self.unit_sizes, params.guided_radius)
-            if vols0 is not None else 0)
         datas = []
         for b in range(self.batch):
             data, cfg = energy_mod.build_energy(

@@ -62,8 +62,11 @@ def test_warm_start_exact_with_unfiltered_energy():
     im = (rng.random((h, w, 3)) * 255).astype(np.float32)
     vol = rng.random((nd, h, w)).astype(np.float32)
     params = PARAMS_GF.replace(windR=4, filter_name="", th_col=0.9)
+    # vol_dtype f32: the default bf16 storage quantizes the volume (~0.3%),
+    # which this exactness oracle cannot tolerate.
     s = LocalExpansionSolver(im, im, params, max_disp=float(nd - 1),
-                             vol0=vol, vol1=vol, seed=0)
+                             vol0=vol, vol1=vol, seed=0,
+                             vol_dtype="float32")
     s.add_layer(4, ("expansion",))
     s.finalize()
 
