@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import COST_FOR_INVALID, Parameters
-from ..ops import (guided, pairwise, unary_volume, unary_warp, validity,
-                   windows)
+from ..ops import (guided, pairwise, unary_pallas, unary_volume, unary_warp,
+                   validity, windows)
 
 
 class EnergyData(NamedTuple):
@@ -63,6 +63,7 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
+    unary_backend: str = "auto"   # "auto" (DMA kernel on TPU) | "xla"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     exi_pad: int = 0       # spatial zero padding of EnergyData.exi
 
@@ -73,7 +74,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                  vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None,
                  interp: int = 1, vol_pad: int = 0,
-                 vol_dtype: str = "float32"):
+                 vol_dtype: str = "float32", vol_transform=None):
     """Builds (EnergyData, EnergyConfig) for one stereo pair.
 
     Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
@@ -113,10 +114,27 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
     else:
         vp = int(vol_pad)
         # Volume storage dtype: bf16 halves HBM residency and slab bandwidth
-        # (the unary's dominant traffic); sampling/aggregation stay f32.
-        vol = jnp.asarray(np.pad(np.stack([vol0, vol1]),
-                                 ((0, 0), (0, 0), (vp, vp), (vp, vp))),
-                          dtype=jnp.dtype(vol_dtype))
+        # (the unary's dominant traffic); sampling/aggregation stay f32. The
+        # cast happens HERE, once, so sharded placements slice the exact
+        # same bytes (bit-parity between sharded and single-device engines).
+        vol_host = np.pad(np.stack([vol0, vol1]).astype(
+            jnp.dtype(vol_dtype)), ((0, 0), (0, 0), (vp, vp), (vp, vp)))
+        if vol_transform is None:
+            # Trailing alignment padding for the DMA sampler
+            # (ops/unary_pallas.py): HBM slice starts/shapes must align to
+            # the (8, 128) tiling, so clamped aligned-superset windows need
+            # H % 8 == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
+            hv, wv = vol_host.shape[2:]
+            vol_host = np.pad(vol_host,
+                              ((0, 0), (0, 0), (0, (-hv) % 8 + 8),
+                               (0, (-wv) % 128 + 128)))
+        if vol_transform is not None:
+            # Sharded placement hook (parallel/volume.py): receives the
+            # padded host volume, returns the device layout (e.g. overlapped
+            # H shards placed across a mesh).
+            vol = vol_transform(vol_host)
+        else:
+            vol = jnp.asarray(vol_host)
 
     data = EnergyData(
         guide=jnp.asarray(np.stack(guides)),
@@ -223,6 +241,104 @@ def dense_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     return gwin, mwin, iwin, fmask
 
 
+def dense_filter_windows_block(data: EnergyData, cfg: EnergyConfig,
+                               mode: int, coy, cox, s: int, nby: int,
+                               nbx: int, target_off: int, target_size: int):
+    """:func:`dense_filter_windows` in BLOCK layout with channels LEADING
+    ([C, nby, F, nbx, F]) — the hot V3 unary path never materializes the
+    region-major transpose of the (large) stat windows, and trailing
+    3/6-channel dims never land on the lane axis (>100x tile padding)."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    foff = target_off - r
+    oy0 = coy + (s + foff + cfg.pad)
+    ox0 = cox + (s + foff + cfg.pad)
+    t = 4 * s
+
+    def blk(arr_hwc):
+        return windows.dense_windows_block_leading(
+            jnp.moveaxis(arr_hwc, -1, 0), oy0, ox0, nby, nbx, t, fsize)
+
+    gwin = blk(data.guide[mode])
+    mwin = blk(data.gf_mean[mode])
+    iwin = blk(data.gf_inv[mode])
+    fmask = in_image_block(cfg, coy, cox, s, nby, nbx, foff, fsize)
+    return gwin, mwin, iwin, fmask
+
+
+def in_image_block(cfg: EnergyConfig, coy, cox, s: int, nby: int, nbx: int,
+                   off: int, size: int) -> jnp.ndarray:
+    """[nby, F, nbx, F] float32 in-image mask in block layout; window (m, k)
+    starts at image coords (coy + s + off + m*4s, cox + s + off + k*4s)."""
+    t = 4 * s
+    m_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 0)
+    i_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 1)
+    k_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 2)
+    j_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 3)
+    ys = coy + s + off + m_i * t + i_i
+    xs = cox + s + off + k_i * t + j_i
+    inside = ((xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height))
+    return inside.astype(jnp.float32)
+
+
+def dense_volume_slabs_block(data: EnergyData, cfg: EnergyConfig, mode: int,
+                             coy, cox, s: int, nby: int, nbx: int,
+                             target_off: int, target_size: int,
+                             vol_row_base=None):
+    """:func:`dense_volume_slabs` in BLOCK layout [D, nby, F, nbx, F]."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    if vol_row_base is None:
+        vol_row_base = cfg.vol_pad
+    oy0 = coy + (s + target_off - r) + vol_row_base
+    ox0 = cox + (s + target_off - r + cfg.vol_pad)
+    return windows.dense_windows_block_leading(data.vol[mode], oy0, ox0,
+                                               nby, nbx, 4 * s, fsize)
+
+
+def unary_windows_block(data: EnergyData, cfg: EnergyConfig, mode: int,
+                        proposals: jnp.ndarray, coy, cox, s: int, nby: int,
+                        nbx: int, target_off: int, target_size: int,
+                        stat_blocks, slab_block) -> jnp.ndarray:
+    """Block-layout fast path of :func:`unary_windows` (V3 linear term + GF).
+
+    The whole pipeline — tent-weight slab reduction, guided filtering —
+    runs in [nby, F, nbx, F] layout; only the final [N, S, S] cost is
+    transposed to region-major order (a few MB instead of the [N, D, F, F]
+    slabs). Semantics identical to :func:`unary_windows`.
+    """
+    r = cfg.params.guided_radius
+    ss = target_size
+    foff = target_off - r
+
+    raw = unary_volume.sample_slabs_block(
+        slab_block, proposals, coy + s + foff, cox + s + foff, 4 * s,
+        nby, nbx, min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+    if stat_blocks is not None:
+        gwin, mwin, iwin, fmask = stat_blocks
+        q = guided.filter_windows_block(raw, gwin, mwin, iwin, fmask, r)
+    else:
+        q = raw
+    q = q[:, r:r + ss, :, r:r + ss]
+    q = windows.block_to_regions(q)                      # [N, S, S]
+
+    # Validity + in-image masking on the (small) region-major result.
+    iy = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0).reshape(-1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 1).reshape(-1)
+    tox = cox + s + target_off + ix * (4 * s)
+    toy = coy + s + target_off + iy * (4 * s)
+    valid = validity.valid_windows(proposals, tox, toy, ss, cfg.min_disp,
+                                   cfg.max_disp)
+    iyg = jax.lax.broadcasted_iota(jnp.int32, (ss, ss), 0)
+    ixg = jax.lax.broadcasted_iota(jnp.int32, (ss, ss), 1)
+    ysg = toy[:, None, None] + iyg[None]
+    xsg = tox[:, None, None] + ixg[None]
+    tmask = ((xsg >= 0) & (xsg < cfg.width) & (ysg >= 0)
+             & (ysg < cfg.height)).astype(jnp.float32)
+    q = jnp.where(valid, q, COST_FOR_INVALID)
+    return q * tmask
+
+
 def slice_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                        ox: jnp.ndarray, oy: jnp.ndarray, target_off: int,
                        target_size: int):
@@ -248,16 +364,24 @@ def slice_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
 
 def dense_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                        coy, cox, s: int, nby: int, nbx: int,
-                       target_off: int, target_size: int):
+                       target_off: int, target_size: int,
+                       vol_row_base=None, stride: int = 0):
     """Aligned per-region volume slabs for a regular color grid, extracted
     densely (see :mod:`..ops.windows`). Region (m, k)'s window origin is
-    ``(coy + s + target_off - r + m * 4s, ...)`` in image coords."""
+    ``(coy + s + target_off - r + m * 4s, ...)`` in image coords.
+
+    ``vol_row_base`` overrides the image-row -> volume-array-row offset
+    (default ``cfg.vol_pad``); the spatially sharded engine passes
+    ``halo - shard_row0`` so slabs resolve from the local overlapped volume
+    shard (``parallel/volume.py``)."""
     r = cfg.params.guided_radius
     fsize = target_size + 2 * r
-    oy0 = coy + (s + target_off - r + cfg.vol_pad)
+    if vol_row_base is None:
+        vol_row_base = cfg.vol_pad
+    oy0 = coy + (s + target_off - r) + vol_row_base
     ox0 = cox + (s + target_off - r + cfg.vol_pad)
     return windows.dense_windows_leading(data.vol[mode], oy0, ox0, nby, nbx,
-                                         4 * s, fsize)
+                                         stride or 4 * s, fsize)
 
 
 def dense_exi_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
@@ -292,7 +416,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                   target_off: int, target_size: int,
                   stat_windows=None, vol_slabs=None,
-                  exi_slabs=None) -> jnp.ndarray:
+                  exi_slabs=None, vol_dma: bool = False) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -316,7 +440,14 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     foy = oy + foff
 
     if cfg.kind == "volume":
-        if vol_slabs is not None:
+        if vol_dma:
+            # Fused HBM-window-gather + tent kernel (ops/unary_pallas.py):
+            # no hoisted slab array, traffic = exactly the window bytes.
+            raw = unary_pallas.sample_windows_dma(
+                data.vol[mode], proposals, fox, foy, cfg.vol_pad,
+                cfg.vol_pad, f=fsize, height=cfg.height, width=cfg.width,
+                min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+        elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
                 min_disp=cfg.min_disp, th_col=cfg.params.th_col)

@@ -85,13 +85,24 @@ def _to_canvas(x: jnp.ndarray, nby: int, nbx: int, s: int) -> jnp.ndarray:
     return x.reshape(nby * 4 * s, nbx * 4 * s, *trail)
 
 
+def _slice_rows(x: jnp.ndarray, m_start, nby: int, nbx: int,
+                nby_loc: int) -> jnp.ndarray:
+    """Rows [m_start, m_start + nby_loc) of a row-major [nby * nbx, ...]
+    region batch (m_start traced)."""
+    trail = x.shape[1:]
+    x = x.reshape((nby, nbx) + trail)
+    x = jax.lax.dynamic_slice_in_dim(x, m_start, nby_loc, axis=0)
+    return x.reshape((nby_loc * nbx,) + trail)
+
+
 def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 labeling_m: jnp.ndarray, cost_m: jnp.ndarray,
                 ox: jnp.ndarray, oy: jnp.ndarray, rmask: jnp.ndarray,
                 cox: jnp.ndarray, coy: jnp.ndarray,
                 dzs: jnp.ndarray, nrs: jnp.ndarray, key: jax.Array,
                 *, unit_size: int, nbx: int, nby: int, plan: tuple,
-                do_gc: bool, mode: int):
+                do_gc: bool, mode: int, step_active=None, nby_loc: int = 0,
+                m_start=None, own_rmask=None, vol_row_base=None):
     """Runs the full proposal plan of one (layer, color) for one view.
 
     Equivalent to the body of ``localExpansionMovesForLayer_CPU``
@@ -103,6 +114,18 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
       ox, oy, rmask: region unit origins + validity, [N = nbx * nby].
       cox, coy: canvas origin in unpadded coords (traced scalars).
       dzs, nrs: perturbation schedules for the "random" plan entries.
+      step_active: optional traced [len(plan)] bool — False entries are
+        no-op steps (their proposals are evaluated but never accepted).
+        Lets every outer iteration share ONE compiled plan even though the
+        random-perturbation count shrinks with the decay schedule
+        (``Proposer.h:149-152``), instead of recompiling per variant.
+      nby_loc / m_start / own_rmask / vol_row_base: spatial-sharding mode
+        (``parallel/volume.py``): proposals are still generated for ALL nby
+        region rows (bit-identical RNG to the unsharded engine), but the
+        expensive unary / min-cut / canvas-update path runs only on region
+        rows [m_start, m_start + nby_loc), with ``own_rmask`` restricting
+        acceptance to the rows this shard owns and ``vol_row_base`` mapping
+        image rows into the local overlapped volume shard.
     """
     s = unit_size
     ss = 3 * s
@@ -110,31 +133,65 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     p = cfg.pad
     cw = jnp.clip(cfg.width - ox, 1, s)
     ch = jnp.clip(cfg.height - oy, 1, s)
-    tmask = energy_mod.in_image_windows(cfg, ox, oy, -s, ss) > 0
-    canvas_hw = (nby * 4 * s, nbx * 4 * s)
-    start2 = (coy + p, cox + p)
+    local = m_start is not None
+    if local:
+        assert cfg.kind == "volume" and cfg.interp == 1, \
+            "spatial sharding currently supports the V3 linear-interp term"
+        nby_u = nby_loc
+        coy_u = coy + m_start * t4
+        ox_u = _slice_rows(ox, m_start, nby, nbx, nby_loc)
+        oy_u = _slice_rows(oy, m_start, nby, nbx, nby_loc)
+        rmask_u = own_rmask
+    else:
+        nby_u = nby
+        coy_u = coy
+        ox_u, oy_u, rmask_u = ox, oy, rmask
+    tmask = energy_mod.in_image_windows(cfg, ox_u, oy_u, -s, ss) > 0
+    canvas_hw = (nby_u * 4 * s, nbx * 4 * s)
+    start2 = (coy_u + p, cox + p)
     # Stat windows and volume slabs are proposal-independent: slice once per
     # color step (the reference's Reusable cache, StereoEnergy.h:616-626).
     # All window extraction is DENSE (ops/windows.py): the color's regions
     # form a regular grid at stride 4s, so vmapped dynamic slices (which XLA
-    # serializes) are never needed on this path.
-    stat_windows = (energy_mod.dense_filter_windows(
-        data, cfg, mode, ox, oy, coy, cox, s, nby, nbx, -s, ss)
-        if cfg.params.filter_name else None)
-    vol_slabs = exi_slabs = None
-    if cfg.kind == "volume" and cfg.interp == 1:
-        n_regions = ox.shape[0]
-        if energy_mod.volume_slab_bytes(data, n_regions, ss,
-                                        cfg.params.guided_radius) <= (2 << 30):
+    # serializes) are never needed on this path. (A BLOCK-layout variant of
+    # the V3 unary pipeline — energy.unary_windows_block — was A/B'd here:
+    # it avoids the [N, D, F, F] slab transpose but XLA executes the 5-D
+    # block ops ~2.5x slower per proposal step on v5e, so the region-major
+    # path stays the default; the block path remains oracle-tested.)
+    use_block = False
+    # V3 raw sampling backend: the fused DMA gather+tent kernel on TPU
+    # (ops/unary_pallas.py) needs no hoisted slab array at all.
+    use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
+                   and cfg.unary_backend == "dma"
+                   and jax.default_backend() == "tpu")
+    stat_windows = vol_slabs = exi_slabs = None
+    stat_blocks = slab_block = None
+    if use_block:
+        if cfg.params.filter_name:
+            stat_blocks = energy_mod.dense_filter_windows_block(
+                data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss)
+        slab_block = energy_mod.dense_volume_slabs_block(
+            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
+            vol_row_base=vol_row_base)
+    elif cfg.params.filter_name:
+        stat_windows = energy_mod.dense_filter_windows(
+            data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
+    if (cfg.kind == "volume" and cfg.interp == 1 and not use_block
+            and not use_vol_dma):
+        n_regions = ox_u.shape[0]
+        if local or energy_mod.volume_slab_bytes(
+                data, n_regions, ss,
+                cfg.params.guided_radius) <= (2 << 30):
             vol_slabs = energy_mod.dense_volume_slabs(
-                data, cfg, mode, coy, cox, s, nby, nbx, -s, ss)
+                data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
+                vol_row_base=vol_row_base)
     elif cfg.kind == "naive" and cfg.max_vdisp == 0.0:
         exi_slabs = energy_mod.dense_exi_slabs(
-            data, cfg, mode, coy, cox, s, nby, nbx, -s, ss)
+            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss)
 
     if do_gc:
         coeff_win = windows.dense_windows_leading(
-            data.coeff8[mode], coy + p, cox + p, nby, nbx, t4,
+            data.coeff8[mode], coy_u + p, cox + p, nby_u, nbx, t4,
             ss)                                        # [N, 8, S, S]
         lam = cfg.params.lambda_
         tau = cfg.params.th_smooth
@@ -157,18 +214,31 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             props = proposals.random_perturbation(
                 k, cell_labels, ox, oy, cw, ch, dzs[di], nrs[di],
                 cfg.min_disp, cfg.max_disp, cfg.max_vdisp)
+        if local:
+            props = _slice_rows(props, m_start, nby, nbx, nby_loc)
 
-        pcost = energy_mod.unary_windows(data, cfg, mode, props, ox, oy,
-                                         -s, ss, stat_windows, vol_slabs,
-                                         exi_slabs)
-        ccost = windows.dense_windows(cost_m, coy + p, cox + p, nby, nbx,
+        if use_block:
+            pcost = energy_mod.unary_windows_block(
+                data, cfg, mode, props, coy_u, cox, s, nby_u, nbx, -s, ss,
+                stat_blocks, slab_block)
+        else:
+            pcost = energy_mod.unary_windows(data, cfg, mode, props, ox_u,
+                                             oy_u, -s, ss, stat_windows,
+                                             vol_slabs, exi_slabs,
+                                             vol_dma=use_vol_dma)
+        if step_active is not None:
+            # Inactive steps propose at COST_FOR_INVALID so the min-cut
+            # solve below converges immediately (all-current cut).
+            pcost = jnp.where(step_active[idx], pcost,
+                              energy_mod.COST_FOR_INVALID)
+        ccost = windows.dense_windows(cost_m, coy_u + p, cox + p, nby_u, nbx,
                                       t4, ss)
 
         if do_gc:
-            halo = windows.dense_windows(labeling_m, coy + p - 1,
-                                         cox + p - 1, nby, nbx, t4, ss + 2)
-            tox = (ox - s).astype(jnp.float32)
-            toy = (oy - s).astype(jnp.float32)
+            halo = windows.dense_windows(labeling_m, coy_u + p - 1,
+                                         cox + p - 1, nby_u, nbx, t4, ss + 2)
+            tox = (ox_u - s).astype(jnp.float32)
+            toy = (oy_u - s).astype(jnp.float32)
             if use_fused:
                 # Fused Pallas kernel: tables + boundary t-links + graph +
                 # solve + exact energy guard in one VMEM-resident pass.
@@ -194,14 +264,16 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         else:
             accept = mincut.greedy_accept(ccost, pcost)
 
-        accept &= tmask & rmask[:, None, None]
+        accept &= tmask & rmask_u[:, None, None]
+        if step_active is not None:
+            accept &= step_active[idx]
 
         # ---- dense canvas update (one dynamic_update_slice per array) ----
-        acc_c = _to_canvas(accept, nby, nbx, s)
-        cost_c = _to_canvas(pcost, nby, nbx, s)
+        acc_c = _to_canvas(accept, nby_u, nbx, s)
+        cost_c = _to_canvas(pcost, nby_u, nbx, s)
         lab_tiles = jnp.broadcast_to(props[:, None, None, :],
                                      (props.shape[0], ss, ss, 4))
-        lab_c = _to_canvas(lab_tiles, nby, nbx, s)
+        lab_c = _to_canvas(lab_tiles, nby_u, nbx, s)
 
         cur_cost = jax.lax.dynamic_slice(cost_m, start2, canvas_hw)
         cost_m = jax.lax.dynamic_update_slice(
@@ -220,12 +292,14 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
                      "mode"))
 def color_step(data, cfg, labeling_m, cost_m, ox, oy, rmask, cox, coy,
-               dzs, nrs, key, *, unit_size, nbx, nby, plan, do_gc, mode):
+               dzs, nrs, key, *, unit_size, nbx, nby, plan, do_gc, mode,
+               step_active=None):
     """One (layer, color) proposal plan as a standalone dispatch (kept for
     tests and incremental debugging; the engine uses :func:`layer_sweep`)."""
     return _color_body(data, cfg, labeling_m, cost_m, ox, oy, rmask, cox,
                        coy, dzs, nrs, key, unit_size=unit_size, nbx=nbx,
-                       nby=nby, plan=plan, do_gc=do_gc, mode=mode)
+                       nby=nby, plan=plan, do_gc=do_gc, mode=mode,
+                       step_active=step_active)
 
 
 @functools.partial(
@@ -238,7 +312,7 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 coxs: jnp.ndarray, coys: jnp.ndarray,
                 dzs: jnp.ndarray, nrs: jnp.ndarray, keys: jax.Array,
                 *, unit_size: int, nbx: int, nby: int, plan: tuple,
-                do_gc: bool, mode: int):
+                do_gc: bool, mode: int, step_active=None):
     """ALL color steps of one layer in ONE dispatch: ``lax.scan`` over the
     color sequence (the reference's sequential j = 0..15 loop,
     ``FastGCStereo.h:26``). Inputs are stacked per color on a leading axis
@@ -251,7 +325,8 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         lab, cost = _color_body(data, cfg, lab, cost, ox, oy, rmask,
                                 cox, coy, dzs, nrs, key,
                                 unit_size=unit_size, nbx=nbx, nby=nby,
-                                plan=plan, do_gc=do_gc, mode=mode)
+                                plan=plan, do_gc=do_gc, mode=mode,
+                                step_active=step_active)
         return (lab, cost), None
 
     (labeling_m, cost_m), _ = jax.lax.scan(
@@ -259,17 +334,23 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     return labeling_m, cost_m
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "unit_size", "mode"))
+@functools.partial(jax.jit, static_argnames=("cfg", "unit_size", "mode",
+                                             "hb_loc"))
 def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
-              key: jax.Array, *, unit_size: int, mode: int):
+              key: jax.Array, *, unit_size: int, mode: int, hb_loc: int = 0,
+              m_start=None, own_rmask=None, vol_row_base=None):
     """Random per-cell initialization (``initCurrentFast``,
     ``FastGCStereo.h:94-115``): one random label at a random pixel of each
-    layer-0 cell, assigned cell-wide, unary evaluated on cell + R."""
+    layer-0 cell, assigned cell-wide, unary evaluated on cell + R.
+
+    The sharding kwargs mirror :func:`_color_body`: labels for ALL cells are
+    drawn (bit-identical RNG), the unary runs on cell rows
+    [m_start, m_start + hb_loc) only, and acceptance is limited to
+    ``own_rmask`` so per-shard results merge exactly."""
     s = unit_size
     p = cfg.pad
     wb = -(-cfg.width // s)
     hb = -(-cfg.height // s)
-    n = wb * hb
     jj = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 1).reshape(-1)
     ii = jax.lax.broadcasted_iota(jnp.int32, (hb, wb), 0).reshape(-1)
     ox = jj * s
@@ -284,25 +365,46 @@ def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     labels = plane_ops.random_label(kl, gx, gy, cfg.min_disp, cfg.max_disp,
                                     cfg.max_vdisp)
 
-    cost = energy_mod.unary_windows(data, cfg, mode, labels, ox, oy, 0, s)
+    local = m_start is not None
+    if local:
+        hb_u = hb_loc
+        row0 = m_start * s
+        ox_u = _slice_rows(ox, m_start, hb, wb, hb_loc)
+        oy_u = _slice_rows(oy, m_start, hb, wb, hb_loc)
+        labels_u = _slice_rows(labels, m_start, hb, wb, hb_loc)
+        vol_slabs = energy_mod.dense_volume_slabs(
+            data, cfg, mode, row0 - s, 0 - s, s, hb_u, wb, 0, s,
+            vol_row_base=vol_row_base, stride=s)
+        cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
+                                        oy_u, 0, s, vol_slabs=vol_slabs)
+        mask = (energy_mod.in_image_windows(cfg, ox_u, oy_u, 0, s) > 0)
+        mask &= own_rmask[:, None, None]
+    else:
+        hb_u = hb
+        row0 = 0
+        ox_u, oy_u, labels_u = ox, oy, labels
+        cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
+                                        oy_u, 0, s)
+        mask = energy_mod.in_image_windows(cfg, ox_u, oy_u, 0, s) > 0
 
-    # Cells tile the image exactly (stride s): one dense update.
+    n_u = hb_u * wb
     hp = cfg.height + 2 * p
     wp = cfg.width + 2 * p
-    mask = energy_mod.in_image_windows(cfg, ox, oy, 0, s) > 0
-    cost_c = _init_canvas(cost, hb, wb, s)
-    lab_tiles = jnp.broadcast_to(labels[:, None, None, :], (n, s, s, 4))
-    lab_c = _init_canvas(lab_tiles, hb, wb, s)
-    mask_c = _init_canvas(mask, hb, wb, s)
+    cost_c = _init_canvas(cost, hb_u, wb, s)
+    lab_tiles = jnp.broadcast_to(labels_u[:, None, None, :], (n_u, s, s, 4))
+    lab_c = _init_canvas(lab_tiles, hb_u, wb, s)
+    mask_c = _init_canvas(mask, hb_u, wb, s)
 
     labeling_m = jnp.zeros((hp, wp, 4), jnp.float32)
     cost_m = jnp.zeros((hp, wp), jnp.float32)
-    cur = jax.lax.dynamic_slice(cost_m, (p, p), (hb * s, wb * s))
+    start = (p + row0, p) if local else (p, p)
+    cur = jax.lax.dynamic_slice(cost_m, start, (hb_u * s, wb * s))
     cost_m = jax.lax.dynamic_update_slice(
-        cost_m, jnp.where(mask_c, cost_c, cur), (p, p))
-    curl = jax.lax.dynamic_slice(labeling_m, (p, p, 0), (hb * s, wb * s, 4))
+        cost_m, jnp.where(mask_c, cost_c, cur), start)
+    curl = jax.lax.dynamic_slice(labeling_m, start + (0,),
+                                 (hb_u * s, wb * s, 4))
     labeling_m = jax.lax.dynamic_update_slice(
-        labeling_m, jnp.where(mask_c[..., None], lab_c, curl), (p, p, 0))
+        labeling_m, jnp.where(mask_c[..., None], lab_c, curl), start + (0,))
     return labeling_m, cost_m
 
 
@@ -424,37 +526,64 @@ class LocalExpansionSolver:
 
     # ------------------------------------------------------------- sweeps --
 
+    def _layer_inputs(self, li: int, layer, outer_iter: int, key: jax.Array):
+        """Packs the per-color stacked arrays + schedules of one layer (shared
+        by the single-pair, batched, and spatially-sharded sweeps).
+
+        The plan is PADDED to the outer_iter=0 variant (the longest: the
+        random-perturbation count only shrinks with the decay schedule) and
+        trailing no-op steps are disabled via the traced ``step_active``
+        mask — so every sweep of a layer reuses one compiled executable."""
+        plan = make_plan(self.layer_proposers[li], outer_iter,
+                         self.min_disp, self.max_disp)
+        plan_pad = make_plan(self.layer_proposers[li], 0, self.min_disp,
+                             self.max_disp)
+        if plan == plan_pad[:len(plan)]:
+            active = np.zeros(len(plan_pad), bool)
+            active[:len(plan)] = True
+            plan = plan_pad
+        else:  # non-prefix plan shape (custom proposer order): exact plan
+            active = np.ones(len(plan), bool)
+        n_random = sum(1 for st in plan if st[0] == "random")
+        dzs = np.asarray([
+            (self.max_disp - self.min_disp) * 0.5 ** (outer_iter + i + 1)
+            for i in range(max(n_random, 1))], np.float32)
+        nrs = np.asarray([0.5 ** (outer_iter + i)
+                          for i in range(max(n_random, 1))], np.float32)
+        oxs, oys, rmasks, coxs, coys, keys = [], [], [], [], [], []
+        for ci, (i0, j0) in enumerate(layer.colors):
+            ox, oy, rmask = layer.color_regions(i0, j0)
+            cox, coy = layer.canvas_origin(i0, j0)
+            oxs.append(ox)
+            oys.append(oy)
+            rmasks.append(rmask)
+            coxs.append(cox)
+            coys.append(coy)
+            keys.append(jax.random.fold_in(key, li * 100 + ci))
+        return plan, jnp.asarray(active), (
+            jnp.asarray(np.stack(oxs)), jnp.asarray(np.stack(oys)),
+            jnp.asarray(np.stack(rmasks)),
+            jnp.asarray(coxs, jnp.int32),
+            jnp.asarray(coys, jnp.int32),
+            jnp.asarray(dzs), jnp.asarray(nrs), jnp.stack(keys))
+
+    def _init_state(self, key: jax.Array, mode: int):
+        """Random initialization of one view's state (overridable)."""
+        return init_step(self.data, self.cfg, key,
+                         unit_size=self.layers[0].unit_size, mode=mode)
+
     def _sweep(self, state_m, mode: int, outer_iter: int, do_gc: bool,
                key: jax.Array):
         """One full sweep over all layers and colors for one view."""
         labeling_m, cost_m = state_m
         for li, layer in enumerate(self.layers):
-            plan = make_plan(self.layer_proposers[li], outer_iter,
-                             self.min_disp, self.max_disp)
-            n_random = sum(1 for st in plan if st[0] == "random")
-            dzs = np.asarray([
-                (self.max_disp - self.min_disp) * 0.5 ** (outer_iter + i + 1)
-                for i in range(max(n_random, 1))], np.float32)
-            nrs = np.asarray([0.5 ** (outer_iter + i)
-                              for i in range(max(n_random, 1))], np.float32)
-            oxs, oys, rmasks, coxs, coys, keys = [], [], [], [], [], []
-            for ci, (i0, j0) in enumerate(layer.colors):
-                ox, oy, rmask = layer.color_regions(i0, j0)
-                cox, coy = layer.canvas_origin(i0, j0)
-                oxs.append(ox)
-                oys.append(oy)
-                rmasks.append(rmask)
-                coxs.append(cox)
-                coys.append(coy)
-                keys.append(jax.random.fold_in(key, li * 100 + ci))
+            plan, active, (oxs, oys, rmasks, coxs, coys, dzs, nrs, keys) = \
+                self._layer_inputs(li, layer, outer_iter, key)
             labeling_m, cost_m = layer_sweep(
-                self.data, self.cfg, labeling_m, cost_m,
-                jnp.asarray(np.stack(oxs)), jnp.asarray(np.stack(oys)),
-                jnp.asarray(np.stack(rmasks)),
-                jnp.asarray(coxs, jnp.int32), jnp.asarray(coys, jnp.int32),
-                jnp.asarray(dzs), jnp.asarray(nrs), jnp.stack(keys),
+                self.data, self.cfg, labeling_m, cost_m, oxs, oys, rmasks,
+                coxs, coys, dzs, nrs, keys,
                 unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
-                plan=plan, do_gc=do_gc, mode=mode)
+                plan=plan, do_gc=do_gc, mode=mode, step_active=active)
         return labeling_m, cost_m
 
     # --------------------------------------------------------------- run --
@@ -496,9 +625,7 @@ class LocalExpansionSolver:
                                                      init_labeling, mode)
                 else:
                     k = jax.random.fold_in(root, 1000 + mode)
-                    state[mode] = init_step(
-                        self.data, cfg, k,
-                        unit_size=self.layers[0].unit_size, mode=mode)
+                    state[mode] = self._init_state(k, mode)
                 self._evaluate(state, mode, index=0)
         if self.evaluator is not None:
             self.evaluator.start()

@@ -314,6 +314,265 @@ def _make_expansion_kernel(s: int, lam: float, tau: float,
     return kernel
 
 
+# --------------------------------------------------------------------------
+# Region-on-lanes ("rl") layout: planes are [y, x, B] with the REGION axis on
+# the 128 TPU lanes. For small windows (S <= ~64) the [b, S, S] layout wastes
+# most of the vector unit (S = 42 pads to 128 lanes = 29% utilization); with
+# regions on lanes every vreg is full and the x/y shifts become cheap
+# major-axis slices. Used by the fused expansion kernel at the fine layer,
+# which dominates the GC sweep cost.
+# --------------------------------------------------------------------------
+
+
+def _shift2d_rl(x: jnp.ndarray, dx: int, dy: int, fill) -> jnp.ndarray:
+    """Value at p + (dx, dy) on a [S, S, B] tile batch (y, x, region)."""
+    s0, s1, b = x.shape
+    out = x
+    if dy:
+        pad = jnp.full((abs(dy), s1, b), fill, x.dtype)
+        if dy > 0:
+            out = jnp.concatenate([out[dy:], pad], axis=0)
+        else:
+            out = jnp.concatenate([pad, out[:dy]], axis=0)
+    if dx:
+        pad = jnp.full((out.shape[0], abs(dx), b), fill, x.dtype)
+        if dx > 0:
+            out = jnp.concatenate([out[:, dx:], pad], axis=1)
+        else:
+            out = jnp.concatenate([pad, out[:, :dx]], axis=1)
+    return out
+
+
+def _solver_core_rl(s: int, max_global_rounds: int, sweeps_per_round: int):
+    """:func:`_solver_core` for the region-on-lanes layout (same algorithm;
+    shifts act on the leading spatial axes)."""
+    hmax = float(s * s + 2)
+    eps = 1e-7
+    dirs = mincut_xla.EDGE_DIRS
+
+    def out_caps(capfw, capbw):
+        outs = []
+        for k, (dx, dy) in enumerate(dirs):
+            outs.append((capfw[k], dx, dy))
+        for k, (dx, dy) in enumerate(dirs):
+            outs.append((_shift2d_rl(capbw[k], -dx, -dy, 0.0), -dx, -dy))
+        return outs
+
+    def bfs(capt, capfw, capbw):
+        d0 = jnp.where(capt > eps, 1.0, _INF).astype(jnp.float32)
+
+        def relax(d):
+            best = d
+            for cap_out, dx, dy in out_caps(capfw, capbw):
+                nb = _shift2d_rl(d, dx, dy, _INF)
+                best = jnp.minimum(best,
+                                   jnp.where(cap_out > eps, nb + 1.0, _INF))
+            return best
+
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            d, _ = c
+            best = relax(relax(d))
+            return best, jnp.any(best < d)
+
+        d, _ = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True)))
+        return jnp.where(d >= _INF, hmax, d)
+
+    def sweep(fw0, e, h, capt, capfw):
+        capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
+        active = (e > eps) & (h < hmax)
+
+        taken = jnp.zeros_like(active)
+        adm = active & (capt > eps) & (h == 1.0)
+        f_sink = jnp.where(adm, jnp.minimum(e, capt), 0.0)
+        taken |= adm
+        flows = []
+        for cap_out, dx, dy in out_caps(capfw, capbw):
+            nb_h = _shift2d_rl(h, dx, dy, hmax)
+            adm = active & (~taken) & (cap_out > eps) & (h == nb_h + 1.0)
+            flows.append(jnp.where(adm, jnp.minimum(e, cap_out), 0.0))
+            taken |= adm
+
+        capt = capt - f_sink
+        outflow = f_sink
+        inflow = jnp.zeros_like(e)
+        new_fw = list(capfw)
+        for k, (dx, dy) in enumerate(dirs):
+            f = flows[k]
+            new_fw[k] = new_fw[k] - f
+            outflow = outflow + f
+            inflow = inflow + _shift2d_rl(f, -dx, -dy, 0.0)
+        for k, (dx, dy) in enumerate(dirs):
+            f = flows[4 + k]
+            fr = _shift2d_rl(f, dx, dy, 0.0)
+            new_fw[k] = new_fw[k] + fr
+            outflow = outflow + f
+            inflow = inflow + fr
+        e = e - outflow + inflow
+        capfw = tuple(new_fw)
+        capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
+
+        active = (e > eps) & (h < hmax)
+        best = jnp.where(capt > eps, 0.0, _INF).astype(jnp.float32)
+        for cap_out, dx, dy in out_caps(capfw, capbw):
+            nb_h = _shift2d_rl(h, dx, dy, hmax)
+            best = jnp.minimum(best, jnp.where(cap_out > eps, nb_h, _INF))
+        could_push = best <= h - 1.0
+        new_h = jnp.where(best >= _INF, hmax, jnp.minimum(best + 1.0, hmax))
+        h = jnp.where(active & (~could_push), jnp.maximum(h, new_h), h)
+        return e, h, capt, capfw
+
+    def solve(e0, capt0, fw0):
+        def round_body(carry):
+            e, h, capt, capfw, _, rounds = carry
+            capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
+            h = bfs(capt, capfw, capbw)
+            live = jnp.any((e > eps) & (h < hmax))
+
+            def inner_cond(c):
+                e, h, capt, capfw, k = c
+                return (k < sweeps_per_round) & jnp.any((e > eps)
+                                                        & (h < hmax))
+
+            def inner_body(c):
+                e, h, capt, capfw, k = c
+                e, h, capt, capfw = sweep(fw0, e, h, capt, capfw)
+                return e, h, capt, capfw, k + 1
+
+            e, h, capt, capfw, _ = jax.lax.while_loop(
+                inner_cond, inner_body, (e, h, capt, capfw, jnp.int32(0)))
+            return e, h, capt, capfw, live, rounds + 1
+
+        def round_cond(carry):
+            _, _, _, _, live, rounds = carry
+            return live & (rounds < max_global_rounds)
+
+        h0 = jnp.zeros_like(e0)
+        e, h, capt, capfw, _, _ = jax.lax.while_loop(
+            round_cond, round_body,
+            (e0, h0, capt0, tuple(fw0), jnp.bool_(True), jnp.int32(0)))
+
+        capbw = tuple(f0 - f for f0, f in zip(fw0, capfw))
+        dist = bfs(capt, capfw, capbw)
+        return dist >= hmax
+
+    return solve
+
+
+def _edge_masks_iota_rl(s: int):
+    """[4][S, S, 1] f32 in-window edge masks for the rl layout."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+    masks = []
+    for dx, dy in mincut_xla.EDGE_DIRS:
+        m = ((ix + dx >= 0) & (ix + dx < s) & (iy + dy >= 0)
+             & (iy + dy < s))
+        masks.append(m.astype(jnp.float32))
+    return masks
+
+
+def _make_expansion_kernel_rl(s: int, lam: float, tau: float,
+                              max_global_rounds: int, sweeps_per_round: int):
+    """Fused expansion kernel in region-on-lanes layout (see
+    :func:`_make_expansion_kernel` for the semantics; block inputs are
+    [S+2, S+2, b] / [8, S, S, b] / [S, S, b])."""
+    solve = _solver_core_rl(s, max_global_rounds, sweeps_per_round)
+    fwd_idx = pairwise.FORWARD
+
+    def kernel(d0h_ref, d1h_ref, ah_ref, bh_ref, coeff_ref,
+               ccost_ref, pcost_ref, accept_ref, rl_ref):
+        emasks = _edge_masks_iota_rl(s)
+
+        def at_off(ref, dx, dy):
+            rl_ref[...] = ref[1 + dy:1 + dy + s, 1 + dx:1 + dx + s, :]
+            return rl_ref[...]
+
+        d0 = at_off(d0h_ref, 0, 0)
+        d1 = at_off(d1h_ref, 0, 0)
+        a0 = at_off(ah_ref, 0, 0)
+        b0 = at_off(bh_ref, 0, 0)
+
+        c00s, c01s, c10s = [], [], []
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            d0q = at_off(d0h_ref, dx, dy)
+            aq = at_off(ah_ref, dx, dy)
+            bq = at_off(bh_ref, dx, dy)
+            d_le_ee = d0q - (aq * dx + bq * dy)
+            d_ee_le = d0 + a0 * dx + b0 * dy
+            d1q = at_off(d1h_ref, dx, dy)
+            w = coeff_ref[k] * lam
+            c00s.append(jnp.minimum(jnp.abs(d0 - d_le_ee)
+                                    + jnp.abs(d_ee_le - d0q), tau) * w)
+            c01s.append(jnp.minimum(jnp.abs(d0 - d1)
+                                    + jnp.abs(d_ee_le - d1q), tau) * w)
+            c10s.append(jnp.minimum(jnp.abs(d1 - d_le_ee)
+                                    + jnp.abs(d1q - d0q), tau) * w)
+
+        t0b = jnp.zeros_like(d0)
+        t1b = jnp.zeros_like(d0)
+        for k, (dx, dy) in enumerate(pairwise.NEIGHBORS):
+            iy_i = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+            ix_i = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+            outside = ((ix_i + dx < 0) | (ix_i + dx >= s) | (iy_i + dy < 0)
+                       | (iy_i + dy >= s))
+            d0q = at_off(d0h_ref, dx, dy)
+            aq = at_off(ah_ref, dx, dy)
+            bq = at_off(bh_ref, dx, dy)
+            dq_p = d0q - (aq * dx + bq * dy)
+            d0_q = d0 + a0 * dx + b0 * dy
+            d1_q = at_off(d1h_ref, dx, dy)
+            w = jnp.where(outside, coeff_ref[k], 0.0) * lam
+            t0b += jnp.minimum(jnp.abs(d0 - dq_p) + jnp.abs(d0_q - d0q),
+                               tau) * w
+            t1b += jnp.minimum(jnp.abs(d1 - dq_p) + jnp.abs(d1_q - d0q),
+                               tau) * w
+
+        t0 = ccost_ref[...] + t0b
+        t1 = pcost_ref[...] + t1b
+
+        sigma = t0
+        fw0 = []
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            em = emasks[i]
+            c = c01s[i] * em
+            d_minus_c = (c00s[i] - c01s[i]) * em
+            sigma = sigma + c + _shift2d_rl(d_minus_c, -dx, -dy, 0.0)
+            cap = jnp.maximum(0.0, c10s[i] + c01s[i] - c00s[i])
+            fw0.append(cap * em)
+        nu = sigma - t1
+        e0 = jnp.maximum(nu, 0.0)
+        capt0 = jnp.maximum(-nu, 0.0)
+
+        accept = solve(e0, capt0, tuple(fw0))
+
+        xm = accept.astype(jnp.float32)
+        contrib = (t1 - t0) * xm
+        for i, k in enumerate(fwd_idx):
+            dx, dy = pairwise.NEIGHBORS[k]
+            em = emasks[i]
+            xq = _shift2d_rl(xm, dx, dy, 0.0)
+            pair = (c00s[i] * (1 - xm) * (1 - xq) + c01s[i] * (1 - xm) * xq
+                    + c10s[i] * xm * (1 - xq))
+            contrib = contrib + (pair - c00s[i]) * em
+        delta = jnp.sum(jnp.sum(contrib, axis=1, keepdims=True), axis=0,
+                        keepdims=True)                       # [1, 1, b]
+        ok = delta <= 0.0
+        accept_ref[...] = (accept & ok).astype(jnp.int8)
+
+    return kernel
+
+
+#: Use the region-on-lanes layout when the window is small enough that the
+#: [b, S, S] layout would waste most lanes AND enough regions exist to fill
+#: them.
+_RL_MAX_S = 64
+_RL_B = 128
+
+
 def _pack(s: int, n: int, budget_bytes: int, planes: int, cap: int = 16):
     """Regions per kernel program under a VMEM budget."""
     lanes = -(-s // 128) * 128
@@ -409,6 +668,46 @@ def expansion_accept_pallas(halo: jnp.ndarray, props: jnp.ndarray,
            + props[:, 2, None, None])
     ah = halo[..., 0]
     bh = halo[..., 1]
+
+    if s <= _RL_MAX_S and n >= _RL_B // 2:
+        # Region-on-lanes layout: full vector-lane utilization at small S.
+        b = _RL_B
+        n_pad = -(-n // b) * b
+
+        def padn(x, extra_dims):
+            return jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * extra_dims)
+
+        h2 = s + 2
+        d0h_t = jnp.moveaxis(padn(d0h, 2), 0, -1)       # [S+2, S+2, Np]
+        d1h_t = jnp.moveaxis(padn(d1h, 2), 0, -1)
+        ah_t = jnp.moveaxis(padn(ah, 2), 0, -1)
+        bh_t = jnp.moveaxis(padn(bh, 2), 0, -1)
+        coeff_t = jnp.transpose(padn(coeff8, 3), (1, 2, 3, 0))
+        ccost_t = jnp.moveaxis(padn(ccost, 2), 0, -1)
+        pcost_t = jnp.moveaxis(padn(pcost, 2), 0, -1)
+
+        kernel = _make_expansion_kernel_rl(s, float(lam), float(tau),
+                                           max_global_rounds,
+                                           sweeps_per_round)
+        halo_spec = pl.BlockSpec((h2, h2, b), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM)
+        win_spec = pl.BlockSpec((s, s, b), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)
+        accept = pl.pallas_call(
+            kernel,
+            grid=(n_pad // b,),
+            in_specs=[halo_spec, halo_spec, halo_spec, halo_spec,
+                      pl.BlockSpec((8, s, s, b), lambda i: (0, 0, 0, i),
+                                   memory_space=pltpu.VMEM),
+                      win_spec, win_spec],
+            out_specs=win_spec,
+            out_shape=jax.ShapeDtypeStruct((s, s, n_pad), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((s, s, b), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(d0h_t, d1h_t, ah_t, bh_t, coeff_t, ccost_t, pcost_t)
+        return jnp.moveaxis(accept, -1, 0)[:n] > 0
 
     # ~36 live planes: 3 halo + 8 coeff + 2 cost + 12 tables + 11 solver.
     b, n_pad = _pack(s, n, 24 << 20, planes=36)

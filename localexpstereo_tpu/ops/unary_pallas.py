@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: fused volume-window gather + tent-weight reduction.
+
+The V3 raw unary (``CostVolumeEnergy.h:69-98``) needs, per region and
+proposal, the plane-sampled volume over the filter window. The XLA path
+hoists per-color slab windows with reshape/concat extraction
+(``ops/windows.py``) — measured ~20 ms/color of pure relayout on the tiled
+bf16 volume at the fine layer. This kernel removes the hoist entirely:
+
+- the padded volume stays in HBM (``memory_space=ANY``);
+- each grid program DMAs the [D, F, F] slabs of ``RB`` regions directly from
+  their (dynamic) window origins, double-buffered so the next region's DMA
+  overlaps the current tent reduction;
+- the tent reduction ``sum_d slab[d] * max(0, 1 - |d_grid - d(x,y)|)``
+  (exact linear interpolation incl. end-slice clamping, same math as
+  :func:`unary_volume.sample_slabs_aligned`) runs in VMEM and writes the
+  [F, F] raw cost window.
+
+Per proposal step the traffic is exactly the window bytes — no intermediate
+slab array ever exists in HBM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import COST_FOR_INVALID
+
+#: Regions per grid program (double-buffered DMA pipeline depth is 2).
+_RB = 8
+
+
+def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
+                 rb: int, d0_off: float, th_col: float,
+                 height: int, width: int):
+    def kernel(oyv_ref, oxv_ref, pa_ref, pb_ref, pc_ref, gx0_ref, gy0_ref,
+               vol_ref, out_ref, slab, sem):
+        pid = pl.program_id(0)
+        base = pid * rb
+
+        def aligned(ridx):
+            # HBM slices must start/extend on (8, 128) tile boundaries: DMA
+            # the aligned superset [fr, fc] and offset-slice in VMEM. The
+            # clamps keep the superset inside the (alignment-padded) volume;
+            # dy <= fr - f and dx <= fc - f hold by construction.
+            oy = oyv_ref[base + ridx]
+            ox = oxv_ref[base + ridx]
+            oy_al = jnp.minimum((oy // 8) * 8, hv - fr)
+            ox_al = jnp.minimum((ox // 128) * 128, wv - fc)
+            return oy_al, ox_al, oy - oy_al, ox - ox_al
+
+        def get_dma(slot, ridx):
+            oy_al, ox_al, _, _ = aligned(ridx)
+            return pltpu.make_async_copy(
+                vol_ref.at[:, pl.ds(oy_al, fr), pl.ds(ox_al, fc)],
+                slab.at[slot], sem.at[slot])
+
+        get_dma(0, 0).start()
+
+        # Mosaic's tpu.iota is integer-only; cast after.
+        iy = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0
+                                      ).astype(jnp.float32)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1
+                                      ).astype(jnp.float32)
+        dgrid = jax.lax.broadcasted_iota(jnp.int32, (d_, 1, 1), 0
+                                         ).astype(jnp.float32)
+
+        def body(r, carry):
+            slot = jax.lax.rem(r, 2)
+
+            @pl.when(r + 1 < rb)
+            def _():
+                get_dma(jax.lax.rem(r + 1, 2), r + 1).start()
+
+            get_dma(slot, r).wait()
+            i = base + r
+            dy, dx = aligned(r)[2:]
+            win = slab.at[slot, :, pl.ds(dy, f), pl.ds(dx, f)][...]
+            xs = gx0_ref[i] + ix
+            ys = gy0_ref[i] + iy
+            d = pa_ref[i] * xs + pb_ref[i] * ys + pc_ref[i]
+            dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
+            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
+            cost = jnp.sum(win.astype(jnp.float32) * tent, axis=0)
+            cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
+            cost = jnp.minimum(cost, th_col)
+            in_im = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+            out_ref[r] = jnp.where(in_im, cost, 0.0)
+            return carry
+
+        jax.lax.fori_loop(0, rb, body, None, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("f", "height", "width",
+                                             "min_disp", "th_col", "rb",
+                                             "interpret"))
+def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
+                       fox: jnp.ndarray, foy: jnp.ndarray, row_base,
+                       col_base, *, f: int, height: int, width: int,
+                       min_disp: float, th_col: float, rb: int = _RB,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Raw unary cost windows sampled straight from the HBM volume.
+
+    Args:
+      vol: [D, Hv, Wv] PADDED volume (image pixel (x, y) at array
+        [y + row_base, x + col_base]); any float dtype.
+      proposals: [N, 4] planes; fox, foy: [N] window origins in IMAGE coords
+        (may be negative — the padding guarantees array-coord slices are
+        in bounds, ``grid.required_volume_padding``).
+      row_base, col_base: traced image->array offsets (``cfg.vol_pad``).
+    Returns:
+      [N, F, F] float32 raw costs, 0 outside the image (identical semantics
+      to :func:`unary_volume.sample_slabs_aligned`).
+    """
+    d_ = vol.shape[0]
+    n = proposals.shape[0]
+    n_pad = -(-n // rb) * rb
+
+    def padn(x):
+        return jnp.pad(x, (0, n_pad - n))
+
+    oyv = padn(foy + row_base).astype(jnp.int32)
+    oxv = padn(fox + col_base).astype(jnp.int32)
+    pa = padn(proposals[:, 0])
+    pb = padn(proposals[:, 1])
+    pc = padn(proposals[:, 2])
+    gx0 = padn(fox.astype(jnp.float32))
+    gy0 = padn(foy.astype(jnp.float32))
+
+    hv, wv = vol.shape[1], vol.shape[2]
+    fr = min((f + 7) // 8 * 8 + 8, hv)
+    fc = min((f + 127) // 128 * 128 + 128, wv)
+    assert hv % 8 == 0 and wv % 128 == 0, \
+        "volume needs DMA alignment padding (build_energy appends it)"
+    kernel = _make_kernel(d_, f, fr, fc, hv, wv, rb, float(-min_disp),
+                          float(th_col), height, width)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(n_pad // rb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((rb, f, f), lambda i, *_: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, d_, fr, fc), vol.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, f, f), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(oyv, oxv, pa, pb, pc, gx0, gy0, vol)
+    return out[:n]

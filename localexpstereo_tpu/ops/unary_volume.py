@@ -167,6 +167,42 @@ def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
 
 
+def sample_slabs_block(slab_block: jnp.ndarray, proposals: jnp.ndarray,
+                       oy0, ox0, t: int, nby: int, nbx: int, *,
+                       min_disp: float, th_col: float) -> jnp.ndarray:
+    """Tent-weight reduction over BLOCK-layout slabs [D, nby, F, nbx, F].
+
+    Same semantics as :func:`sample_slabs_aligned` but the slabs stay in the
+    untransposed extraction layout (``ops.windows.dense_windows_block``), so
+    the [N, D, F, F] transpose of hundreds of MB never materializes. Window
+    (m, k)'s origin is (ox0 + k*t, oy0 + m*t) in global image coordinates.
+
+    Returns the raw cost in block layout [nby, F, nbx, F], float32.
+    """
+    d_, nby_, f, nbx_, f2 = slab_block.shape
+    d0_off = float(-min_disp)
+
+    m_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 0)
+    i_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 1)
+    k_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 2)
+    j_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 3)
+    xs = ox0 + k_i * t + j_i
+    ys = oy0 + m_i * t + i_i
+
+    pr = proposals.reshape(nby, nbx, 4)
+    a = pr[:, None, :, None, 0]
+    b = pr[:, None, :, None, 1]
+    c = pr[:, None, :, None, 2]
+    d = a * xs + b * ys + c
+    dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
+
+    dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1, 1, 1), 0)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
+    cost = jnp.sum(slab_block.astype(jnp.float32) * tent, axis=0)
+    cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
+    return jnp.minimum(cost, th_col)
+
+
 def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
     slab, ocx, ocy = slice_slabs(vol, ox, oy, size)
     return sample_slabs(slab, ocx, ocy, proposals, ox, oy, vol.shape[1:],

@@ -73,10 +73,45 @@ def dense_windows_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
                           t: int, f: int) -> jnp.ndarray:
     """[C, Hp, Wp] -> [nby * nbx, C, F, F] windows on a regular grid."""
     c = arr.shape[0]
+    x = dense_windows_block_leading(arr, oy0, ox0, nby, nbx, t, f)
+    x = jnp.transpose(x, (1, 3, 0, 2, 4))        # [nby, nbx, C, F, F]
+    return x.reshape((nby * nbx, c, f, f))
+
+
+def dense_windows_block(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
+                        t: int, f: int) -> jnp.ndarray:
+    """[Hp, Wp, ...] -> [nby, F, nbx, F, ...] windows in BLOCK layout.
+
+    Same windows as :func:`dense_windows` but WITHOUT the region-major
+    transpose: window (m, k) is ``out[m, :, k, :]``. The hot unary pipeline
+    stays in this layout end-to-end (slab reduction + guided filter) so the
+    expensive 5-D transpose of the [N, D, F, F] slabs never materializes;
+    only the final [N, S, S] cost is transposed (ops/windows.py module doc).
+    """
+    trailing = arr.shape[2:]
+    hblk = (nby - 1) * t + f
+    wblk = (nbx - 1) * t + f
+    blk = jax.lax.dynamic_slice(
+        arr, (oy0, ox0) + (0,) * len(trailing), (hblk, wblk) + trailing)
+    x = _extract_axis(blk, nby, t, f, axis=0)    # [nby, F, Wblk, ...]
+    x = _extract_axis(x, nbx, t, f, axis=2)      # [nby, F, nbx, F, ...]
+    return x
+
+
+def dense_windows_block_leading(arr: jnp.ndarray, oy0, ox0, nby: int,
+                                nbx: int, t: int, f: int) -> jnp.ndarray:
+    """[C, Hp, Wp] -> [C, nby, F, nbx, F] windows in BLOCK layout."""
+    c = arr.shape[0]
     hblk = (nby - 1) * t + f
     wblk = (nbx - 1) * t + f
     blk = jax.lax.dynamic_slice(arr, (0, oy0, ox0), (c, hblk, wblk))
     x = _extract_axis(blk, nby, t, f, axis=1)    # [C, nby, F, Wblk]
     x = _extract_axis(x, nbx, t, f, axis=3)      # [C, nby, F, nbx, F]
-    x = jnp.transpose(x, (1, 3, 0, 2, 4))        # [nby, nbx, C, F, F]
-    return x.reshape((nby * nbx, c, f, f))
+    return x
+
+
+def block_to_regions(x: jnp.ndarray) -> jnp.ndarray:
+    """[nby, F, nbx, F, ...] block windows -> region-major [N, F, F, ...]."""
+    nby, f, nbx, f2 = x.shape[:4]
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((nby * nbx, f, f2) + x.shape[4:])

@@ -58,6 +58,24 @@ def test_fused_kernel_matches_xla_pipeline(n, s):
     assert np.all(np.asarray(e_got) <= 1e-5)
 
 
+def test_fused_kernel_region_on_lanes_layout():
+    """n >= _RL_B/2 with small S selects the region-on-lanes layout; results
+    must stay exact min-cuts (energy-equal to the XLA pipeline)."""
+    rng = np.random.default_rng(2)
+    n = mincut_pallas._RL_B // 2 + 6   # odd count exercises lane padding
+    args = _random_problem(rng, n, 5)
+    got = mincut_pallas.expansion_accept_pallas(
+        args[0], args[1], args[2], args[3], args[4], args[5], args[6],
+        lam=args[7], tau=args[8], interpret=True)
+    assert got.shape == (n, 5, 5)
+    want, (t0, t1, c00, c01, c10) = _xla_reference(*args)
+    e_want = mincut.move_energy_delta(want, t0, t1, c00, c01, c10)
+    e_got = mincut.move_energy_delta(got, t0, t1, c00, c01, c10)
+    np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_want),
+                               rtol=1e-5, atol=1e-4)
+    assert np.all(np.asarray(e_got) <= 1e-5)
+
+
 def test_fused_kernel_region_packing_pads():
     """n not divisible by the packing factor exercises the pad path."""
     rng = np.random.default_rng(1)
