@@ -1,9 +1,9 @@
 """Benchmark: MiddV3 halfH-scale local expansion stereo on real TPU.
 
-Prints ONE JSON line: sec/frame for the reference's headline workload shape
-(Adirondack halfH: 1436x992, MC-CNN cost volume) running the full pipeline —
-2 PatchMatch-init sweeps + 5 graph-cut sweeps, single view, layers
-{1%, 3%, 9%} of width with the reference proposer sets.
+Prints ONE JSON line whose primary metric is sec/frame for the reference's
+headline workload shape (Adirondack halfH: 1436x992, MC-CNN cost volume)
+running the full pipeline — 2 PatchMatch-init sweeps + 5 graph-cut sweeps,
+single view, layers {1%, 3%, 9%} of width with the reference proposer sets.
 
 The MC-CNN volume itself is not redistributable (the reference's
 ``data/MiddV3`` README asks users to download it), so the volume is
@@ -12,8 +12,18 @@ up to min-cut convergence, which the synthetic slanted-plane volume
 exercises. ``vs_baseline`` compares against the reference CPU binary's 237 s
 end-to-end Adirondack time (``GuidedFilter.h:139-141``; see BASELINE.md).
 
+Extra fields (unless BENCH_FAST=1):
+- ``cones_doDual_s`` / ``cones_bad05_nonocc``: REAL-data V2 end-to-end run
+  (bundled cones, full 5 GC + 2 PM dual-view schedule incl. postprocess), so
+  min-cut convergence counts reflect real image statistics;
+- ``batch4_s_per_frame``: amortized throughput of a 4-pair batched run
+  (``parallel/batch.py``) at half scale on the same chip, scaled by area to
+  halfH-equivalent frames — the multi-pair amortization path that a v5e-8
+  mesh replicates per chip.
+
 Env overrides: BENCH_SCALE (default 1.0) scales H/W/ndisp for quick checks;
-BENCH_ITERS / BENCH_PM_ITERS override the sweep counts.
+BENCH_ITERS / BENCH_PM_ITERS override the sweep counts; BENCH_FAST=1 skips
+the extras.
 """
 import json
 import os
@@ -25,13 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_SECONDS = 237.0  # reference filter_raw desktop end-to-end
+CONES_DIR = "/root/reference/data/MiddV2/cones"
 
 
-def build_problem(scale: float):
+def build_problem(scale: float, seed: int = 0):
     h = max(int(992 * scale), 64)
     w = max(int(1436 * scale), 96)
     nd = max(int(145 * scale), 16)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
 
     # Piecewise-slanted-plane scene: a disparity field from a few random
     # planes + a matching volume with a quadratic basin around the truth.
@@ -53,11 +64,7 @@ def build_problem(scale: float):
     return img, vol, h, w, nd
 
 
-def main():
-    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    pm_iters = int(os.environ.get("BENCH_PM_ITERS", "2"))
-
+def bench_primary(scale, iters, pm_iters):
     import jax
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.models.engine import (
@@ -87,14 +94,109 @@ def main():
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
     solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    return time.perf_counter() - t0
+
+
+def bench_cones():
+    """Real-data V2 run: full reference schedule (5 GC + 2 PM, doDual incl.
+    postprocess, the demo.bat cones configuration), optimization-timed."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.models.engine import (
+        LocalExpansionSolver, LAYER0_PROPOSERS, COARSE_PROPOSERS)
+    from localexpstereo_tpu.ops import plane as plane_ops
+    from localexpstereo_tpu.utils import datasets
+    import jax
+    import jax.numpy as jnp
+
+    pair = datasets.load_data(CONES_DIR, 0)
+    params = PARAMS_GF.replace(windR=20, lambda_=1.0)
+
+    def make():
+        s = LocalExpansionSolver(pair.im0, pair.im1, params,
+                                 pair.max_disparity, seed=0)
+        for i, sz in enumerate([5, 15, 25]):
+            s.add_layer(sz, LAYER0_PROPOSERS if i == 0
+                        else COARSE_PROPOSERS)
+        return s
+
+    warm = make()
+    warm.run(iterations=5, view_modes=(0, 1), pm_iterations=2)
+    solver = make()
+    solver.finalize()
+    jax.block_until_ready(solver.data)
+    t0 = time.perf_counter()
+    labeling, _ = solver.run(iterations=5, view_modes=(0, 1),
+                             pm_iterations=2)
     elapsed = time.perf_counter() - t0
 
-    print(json.dumps({
+    disp = np.asarray(plane_ops.disparity_map(jnp.asarray(labeling)))
+    prec = pair.calib.gt_prec
+    if prec > 0:
+        disp = np.rint(disp / prec) * prec
+    ok = np.abs(disp - pair.disp_gt) <= 0.5
+    bad = 100.0 * (1.0 - (ok & pair.nonocc).sum() / pair.nonocc.sum())
+    return elapsed, bad
+
+
+def bench_batch(scale=0.5, batch=4, iters=5, pm_iters=2):
+    """Amortized throughput: a 4-pair batch on ONE chip (a v5e-8 mesh runs
+    the same executable with the 'data' axis spread over 8 chips)."""
+    import jax
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.parallel import batch as batch_mod
+    from localexpstereo_tpu.parallel import mesh as mesh_mod
+
+    probs = [build_problem(scale, seed=i) for i in range(batch)]
+    ims = np.stack([p[0] for p in probs])
+    vols = np.stack([p[1] for p in probs])
+    h, w, nd = probs[0][2], probs[0][3], probs[0][4]
+    params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
+    mesh = mesh_mod.make_mesh((1,), ("data",), jax.devices()[:1])
+    sizes = [max(1, int(w * f)) for f in (0.01, 0.03, 0.09)]
+
+    def make():
+        return batch_mod.BatchedSolver(
+            ims, ims, params, max_disp=float(nd - 1), mesh=mesh,
+            unit_sizes=sizes, vols0=vols, vols1=vols, seed=0,
+            vol_dtype="bfloat16")
+
+    warm = make()
+    warm.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    solver = make()
+    jax.block_until_ready(solver.data)
+    t0 = time.perf_counter()
+    solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    elapsed = time.perf_counter() - t0
+    # Scale to halfH-equivalent frames by pixel-disparity volume.
+    work_ratio = (h * w * nd) / (992 * 1436 * 145)
+    return elapsed / batch / work_ratio
+
+
+def main():
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    pm_iters = int(os.environ.get("BENCH_PM_ITERS", "2"))
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
+
+    elapsed = bench_primary(scale, iters, pm_iters)
+    out = {
         "metric": "midv3_halfH_sec_per_frame",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(elapsed / BASELINE_SECONDS, 5),
-    }))
+    }
+    if not fast:
+        try:
+            cones_s, cones_bad = bench_cones()
+            out["cones_doDual_s"] = round(cones_s, 3)
+            out["cones_bad05_nonocc"] = round(cones_bad, 3)
+        except Exception as e:  # extras must never sink the primary metric
+            out["cones_error"] = str(e)[:200]
+        try:
+            out["batch4_s_per_frame"] = round(bench_batch(), 3)
+        except Exception as e:
+            out["batch_error"] = str(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
