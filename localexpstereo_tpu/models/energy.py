@@ -66,6 +66,10 @@ class EnergyConfig:
     unary_backend: str = "auto"   # "auto" (DMA kernel on TPU) | "xla"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     exi_pad: int = 0       # spatial zero padding of EnergyData.exi
+    #: HBM budget for the hoisted per-color volume slabs; the batched solver
+    #: divides this by the vmapped pair count (the hoist materializes once
+    #: PER PAIR inside the vmap).
+    slab_budget: int = 2 << 30
 
 
 def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,

@@ -160,10 +160,20 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # path stays the default; the block path remains oracle-tested.)
     use_block = False
     # V3 raw sampling backend: the fused DMA gather+tent kernel on TPU
-    # (ops/unary_pallas.py) needs no hoisted slab array at all.
+    # (ops/unary_pallas.py) needs no hoisted slab array at all. Gated by
+    # the VMEM footprint of its double-buffered aligned slab — fine and
+    # middle layers fit comfortably; the coarse layer's ~400px windows
+    # would need >150 MB and stay on the XLA slab path.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
-                   and cfg.unary_backend == "dma"
+                   and cfg.unary_backend in ("dma", "auto")
                    and jax.default_backend() == "tpu")
+    if use_vol_dma:
+        f_win = ss + 2 * cfg.params.guided_radius   # unary_windows' fsize
+        fr = (f_win + 7) // 8 * 8 + 8
+        fc = (f_win + 127) // 128 * 128 + 128
+        d_ = int(data.vol.shape[1])
+        itemsize = jnp.dtype(data.vol.dtype).itemsize
+        use_vol_dma = 2 * d_ * fr * fc * itemsize <= 80 * 1024 * 1024
     stat_windows = vol_slabs = exi_slabs = None
     stat_blocks = slab_block = None
     if use_block:
@@ -181,7 +191,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         n_regions = ox_u.shape[0]
         if local or energy_mod.volume_slab_bytes(
                 data, n_regions, ss,
-                cfg.params.guided_radius) <= (2 << 30):
+                cfg.params.guided_radius) <= cfg.slab_budget:
             vol_slabs = energy_mod.dense_volume_slabs(
                 data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
                 vol_row_base=vol_row_base)
@@ -338,10 +348,17 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                                              "hb_loc"))
 def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
               key: jax.Array, *, unit_size: int, mode: int, hb_loc: int = 0,
-              m_start=None, own_rmask=None, vol_row_base=None):
+              m_start=None, own_rmask=None, vol_row_base=None,
+              seed_labeling_m=None):
     """Random per-cell initialization (``initCurrentFast``,
     ``FastGCStereo.h:94-115``): one random label at a random pixel of each
     layer-0 cell, assigned cell-wide, unary evaluated on cell + R.
+
+    With ``seed_labeling_m`` (a padded [Hp, Wp, 4] labeling), the cell's
+    label is READ from it at the cell's random pixel instead of drawn at
+    random — the fast "cell" warm start of the serving path: one dispatch
+    (same cost as random init) versus the reference's per-pixel warm
+    evaluation (``FastGCStereo.h:117-130``, "very slow").
 
     The sharding kwargs mirror :func:`_color_body`: labels for ALL cells are
     drawn (bit-identical RNG), the unary runs on cell rows
@@ -362,8 +379,11 @@ def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     xx, yy = proposals._cell_pixel(kp, ox, oy, cw, ch)
     gx = (ox + xx).astype(jnp.float32)
     gy = (oy + yy).astype(jnp.float32)
-    labels = plane_ops.random_label(kl, gx, gy, cfg.min_disp, cfg.max_disp,
-                                    cfg.max_vdisp)
+    if seed_labeling_m is None:
+        labels = plane_ops.random_label(kl, gx, gy, cfg.min_disp,
+                                        cfg.max_disp, cfg.max_vdisp)
+    else:
+        labels = seed_labeling_m[p + oy + yy, p + ox + xx]
 
     local = m_start is not None
     if local:
@@ -590,6 +610,7 @@ class LocalExpansionSolver:
 
     def run(self, iterations: int, view_modes: Sequence[int] = (0, 1),
             pm_iterations: int = 0, init_labeling=None,
+            init_mode: str = "exact",
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0, resume_from: Optional[str] = None):
         """Full optimization (cf. ``FastGCStereo::run``). Returns
@@ -599,6 +620,11 @@ class LocalExpansionSolver:
         Args:
           init_labeling: optional [H, W, 4] warm-start labeling (the
             reference's non-empty ``initCurrentFast`` branch).
+          init_mode: how to consume ``init_labeling`` — "exact" evaluates
+            every pixel's own-label unary (reference semantics, slow);
+            "cell" seeds each layer-0 cell with the labeling's value at the
+            cell's random pixel, at the cost of one init dispatch (the
+            serving / video-rate warm start).
           checkpoint_path / checkpoint_every: save the full state every N
             completed sweeps.
           resume_from: path of a checkpoint to resume from (skips the
@@ -620,7 +646,19 @@ class LocalExpansionSolver:
             gc_done = ck.iterations_done
         else:
             for mode in view_modes:
-                if init_labeling is not None:
+                if init_labeling is not None and init_mode == "cell":
+                    p = cfg.pad
+                    lab_m = jnp.zeros(
+                        (cfg.height + 2 * p, cfg.width + 2 * p, 4),
+                        jnp.float32).at[p:p + cfg.height,
+                                        p:p + cfg.width].set(
+                        jnp.asarray(init_labeling, jnp.float32))
+                    k = jax.random.fold_in(root, 1000 + mode)
+                    state[mode] = init_step(
+                        self.data, cfg, k,
+                        unit_size=self.layers[0].unit_size, mode=mode,
+                        seed_labeling_m=lab_m)
+                elif init_labeling is not None:
                     state[mode] = init_from_labeling(self.data, cfg,
                                                      init_labeling, mode)
                 else:

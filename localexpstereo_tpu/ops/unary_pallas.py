@@ -48,8 +48,11 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             # dy <= fr - f and dx <= fc - f hold by construction.
             oy = oyv_ref[base + ridx]
             ox = oxv_ref[base + ridx]
-            oy_al = jnp.minimum((oy // 8) * 8, hv - fr)
-            ox_al = jnp.minimum((ox // 128) * 128, wv - fc)
+            # The trailing multiply keeps the 8/128-divisibility of the DMA
+            # start provable for Mosaic (hv % 8 == 0 and fr % 8 == 0, so
+            # (hv - fr) // 8 is exact; likewise for lanes).
+            oy_al = jnp.minimum(oy // 8, (hv - fr) // 8) * 8
+            ox_al = jnp.minimum(ox // 128, (wv - fc) // 128) * 128
             return oy_al, ox_al, oy - oy_al, ox - ox_al
 
         def get_dma(slot, ridx):
@@ -61,6 +64,10 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
         get_dma(0, 0).start()
 
         # Mosaic's tpu.iota is integer-only; cast after.
+        iy_r = jax.lax.broadcasted_iota(jnp.int32, (fr, f), 0
+                                        ).astype(jnp.float32)
+        ix_r = jax.lax.broadcasted_iota(jnp.int32, (fr, f), 1
+                                        ).astype(jnp.float32)
         iy = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0
                                       ).astype(jnp.float32)
         ix = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1
@@ -78,13 +85,28 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             get_dma(slot, r).wait()
             i = base + r
             dy, dx = aligned(r)[2:]
-            win = slab.at[slot, :, pl.ds(dy, f), pl.ds(dx, f)][...]
+            # Mosaic cannot offset-slice VMEM at runtime offsets, and its
+            # dynamic SUBLANE rotate miscompiles for >2-tile extents (lane
+            # rotates are exact — verified against interpret mode). So:
+            # columns realign with one lane roll; rows are handled by
+            # evaluating the tent contraction over ALL fr rows at their true
+            # image coordinates (row j of the superset is image row
+            # gy0 - dy + j) and selecting the f-row window [dy, dy + f)
+            # with a static where-chain (dy <= fr - f < 16 by construction).
+            full = pltpu.roll(slab[slot], -dx, 2)
+            win = full[:, :, :f]                         # [d, fr, f]
+            xs_r = gx0_ref[i] + ix_r
+            ys_r = (gy0_ref[i] - dy.astype(jnp.float32)) + iy_r
+            d_r = pa_ref[i] * xs_r + pb_ref[i] * ys_r + pc_ref[i]
+            dv = jnp.clip(d_r + d0_off, 0.0, float(d_ - 1))
+            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
+            cost_r = jnp.sum(win.astype(jnp.float32) * tent, axis=0)
+            cost = cost_r[0:f]
+            for k in range(1, fr - f + 1):
+                cost = jnp.where(dy == k, cost_r[k:k + f], cost)
             xs = gx0_ref[i] + ix
             ys = gy0_ref[i] + iy
             d = pa_ref[i] * xs + pb_ref[i] * ys + pc_ref[i]
-            dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
-            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
-            cost = jnp.sum(win.astype(jnp.float32) * tent, axis=0)
             cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
             cost = jnp.minimum(cost, th_col)
             in_im = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))

@@ -89,6 +89,12 @@ class BatchedSolver:
             datas.append(data)
         if mincut_backend is not None:
             cfg = dataclasses.replace(cfg, mincut_backend=mincut_backend)
+        # The slab hoist materializes once per vmapped pair: scale the HBM
+        # budget down so large batches fall back to the gather path instead
+        # of exceeding device memory.
+        local_pairs = -(-self.batch // max(len(mesh.devices.flat), 1))
+        cfg = dataclasses.replace(
+            cfg, slab_budget=cfg.slab_budget // max(local_pairs, 1))
         self.cfg = cfg
         shard = NamedSharding(mesh, P("data"))
         self.data = jax.tree.map(

@@ -1,0 +1,52 @@
+"""Real-TPU validation of the fused DMA unary kernel.
+
+The CI suite runs on a CPU mesh (interpret mode); this tool compiles
+``ops/unary_pallas.sample_windows_dma`` on the actual TPU and checks it
+bit-for-bit against interpret mode on randomized windows honoring the
+padding contract (negative image-coord origins, aligned volume).
+
+Usage: python tools/check_dma_kernel.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from localexpstereo_tpu.ops import unary_pallas
+
+
+def main():
+    assert jax.default_backend() == "tpu", "needs the real TPU"
+    rng = np.random.default_rng(0)
+    D, H, W = 24, 64, 200
+    pad = 16
+    hv0, wv0 = H + 2 * pad, W + 2 * pad
+    hv = (hv0 + 7) // 8 * 8 + 8
+    wv = (wv0 + 127) // 128 * 128 + 128
+    vol = np.zeros((D, hv, wv), np.float32)
+    vol[:, pad:pad + H, pad:pad + W] = rng.random((D, H, W),
+                                                  ).astype(np.float32)
+    N, f = 13, 30
+    fox = rng.integers(-pad, W - 5, N).astype(np.int32)
+    foy = rng.integers(-pad, H - 5, N).astype(np.int32)
+    props = np.stack([rng.uniform(-0.2, 0.2, N),
+                      rng.uniform(-0.2, 0.2, N),
+                      rng.uniform(0, D - 1, N),
+                      np.zeros(N)], -1).astype(np.float32)
+    args = (jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
+            jnp.asarray(foy), pad, pad)
+    kw = dict(f=f, height=H, width=W, min_disp=0.0, th_col=0.5)
+    out = unary_pallas.sample_windows_dma(*args, **kw)
+    ref = unary_pallas.sample_windows_dma(*args, **kw, interpret=True)
+    diff = float(jnp.abs(out - ref).max())
+    print(f"max |tpu - interpret| = {diff}")
+    assert diff == 0.0, "DMA kernel mismatch on real TPU"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
