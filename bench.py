@@ -20,6 +20,9 @@ Extra fields (unless BENCH_FAST=1):
   (``parallel/batch.py``) at half scale on the same chip, scaled by area to
   halfH-equivalent frames — the multi-pair amortization path that a v5e-8
   mesh replicates per chip.
+- ``videorate_s_per_frame``: steady-state serving mode (``serving.py``) —
+  persistent compiled engine, cell-seeded warm start from the previous
+  frame, 1 GC sweep per frame, at the full halfH scale.
 
 Env overrides: BENCH_SCALE (default 1.0) scales H/W/ndisp for quick checks;
 BENCH_ITERS / BENCH_PM_ITERS override the sweep counts; BENCH_FAST=1 skips
@@ -172,6 +175,29 @@ def bench_batch(scale=0.5, batch=4, iters=5, pm_iters=2):
     return elapsed / batch / work_ratio
 
 
+def bench_videorate(scale=1.0, frames=4):
+    """Steady-state serving mode: persistent compiled engine, cell-seeded
+    warm start from the previous frame, 1 GC sweep per frame. Frame 0 (cold
+    full schedule + compilation) is excluded; reports the mean of the warm
+    frames."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.serving import StereoStream
+
+    img, vol, h, w, nd = build_problem(scale)
+    params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
+    sizes = [max(1, int(w * f)) for f in (0.01, 0.03, 0.09)]
+    stream = StereoStream(params, max_disp=float(nd - 1), unit_sizes=sizes,
+                          cold_iterations=5, cold_pm_iterations=2,
+                          warm_iterations=1)
+    stream.process(img, img, vol, vol)           # cold + compile
+    stream.process(img, img, vol, vol)           # first warm (compile warm path)
+    times = []
+    for _ in range(frames - 1):
+        stream.process(img, img, vol, vol)
+        times.append(stream.last_frame_seconds)
+    return sum(times) / len(times)
+
+
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "1.0"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
@@ -196,6 +222,10 @@ def main():
             out["batch4_s_per_frame"] = round(bench_batch(), 3)
         except Exception as e:
             out["batch_error"] = str(e)[:200]
+        try:
+            out["videorate_s_per_frame"] = round(bench_videorate(), 3)
+        except Exception as e:
+            out["videorate_error"] = str(e)[:200]
     print(json.dumps(out))
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import subprocess
 import sys
 from typing import List, Optional
 
@@ -59,6 +60,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     ap.add_argument("--mc_threshold", type=float, default=0.5)
     ap.add_argument("--threadNum", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--volume", default="acrt", choices=["acrt", "mccnn"])
     ns = ap.parse_args(norm)
 
     return Options(
@@ -67,7 +69,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         do_dual=bool(ns.doDual), ndisp=ns.ndisp,
         smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
-        seed=ns.seed)
+        seed=ns.seed, volume=ns.volume)
 
 
 def print_options(opt: Options):
@@ -80,7 +82,7 @@ def print_options(opt: Options):
                       ("filterRadious", opt.filter_radius),
                       ("smooth_weight", opt.resolve_smooth_weight()),
                       ("mc_threshold", opt.mc_threshold),
-                      ("seed", opt.seed)]:
+                      ("seed", opt.seed), ("volume", opt.volume)]:
         print(f"{name:<15}: {val}")
 
 
@@ -145,16 +147,44 @@ def run_midv3(opt: Options):
     print(f"ndisp = {pair.ndisp}")
     h, w = pair.im0.shape[:2]
 
-    vol_l = acrt.read_acrt(os.path.join(opt.target_dir, "im0.acrt"),
-                           pair.ndisp, h, w)
-    vol_l = acrt.fill_out_of_view(vol_l, 0)
-    p1 = os.path.join(opt.target_dir, "im1.acrt")
-    if os.path.exists(p1):
-        vol_r = acrt.read_acrt(p1, pair.ndisp, h, w)
+    if opt.volume == "mccnn":
+        # End-to-end on-device pipeline: images -> MC-CNN features ->
+        # cosine cost volumes, replacing the offline Torch/CUDA MC-CNN the
+        # reference depends on (``README.md:74-91``).
+        import jax.numpy as jnp
+        from ..models import mccnn
+        mc_params = mccnn.load_default_params()
+        print("Computing MC-CNN cost volumes on device.")
+        vol_l = np.asarray(mccnn.cost_volume(
+            mc_params, jnp.asarray(pair.im0), jnp.asarray(pair.im1),
+            pair.ndisp))
+        vol_r = acrt.fill_out_of_view(
+            acrt.convert_volume_l2r(vol_l), 1)
     else:
-        print("Cost volume file im1.acrt not found so recovered from im0.acrt.")
-        vol_r = acrt.convert_volume_l2r(vol_l)
-    vol_r = acrt.fill_out_of_view(vol_r, 1)
+        p0 = os.path.join(opt.target_dir, "im0.acrt")
+        p1 = os.path.join(opt.target_dir, "im1.acrt")
+        try:
+            # Threaded C++ loader (parallel pread + fused fills); falls back
+            # to the numpy codec if the toolchain is unavailable.
+            from .. import native
+            vol_l = native.read_acrt_fill(p0, pair.ndisp, h, w, fill_mode=0)
+            if os.path.exists(p1):
+                vol_r = native.read_acrt_fill(p1, pair.ndisp, h, w,
+                                              fill_mode=1)
+            else:
+                print("Cost volume file im1.acrt not found so recovered "
+                      "from im0.acrt.")
+                vol_r = native.convert_l2r_fill(vol_l)
+        except (OSError, subprocess.CalledProcessError):
+            vol_l = acrt.read_acrt(p0, pair.ndisp, h, w)
+            vol_l = acrt.fill_out_of_view(vol_l, 0)
+            if os.path.exists(p1):
+                vol_r = acrt.read_acrt(p1, pair.ndisp, h, w)
+            else:
+                print("Cost volume file im1.acrt not found so recovered "
+                      "from im0.acrt.")
+                vol_r = acrt.convert_volume_l2r(vol_l)
+            vol_r = acrt.fill_out_of_view(vol_r, 1)
 
     err = 1.0
     if "trainingQ" in opt.target_dir or "testQ" in opt.target_dir:

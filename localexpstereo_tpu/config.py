@@ -80,6 +80,7 @@ class Options:
     filter_radius: int = 20
     thread_num: int = -1  # accepted for CLI parity; no-op on TPU
     seed: int = 0
+    volume: str = "acrt"  # V3 volume source: "acrt" file or "mccnn" on-device
 
     def resolve_smooth_weight(self) -> float:
         """Mode presets (``main.cpp:37-40``): MiddV2 -> 1.0, MiddV3 -> 0.5,

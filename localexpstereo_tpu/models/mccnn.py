@@ -81,6 +81,19 @@ def cost_volume(params: Dict, im0: jnp.ndarray, im1: jnp.ndarray,
     return jax.vmap(one_disp)(jnp.arange(ndisp))
 
 
+def default_weights_path() -> str:
+    """Path of the bundled trained weights (``tools/train_mccnn.py``)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "mccnn_fast_v2.npz")
+
+
+def load_default_params() -> Dict:
+    """Loads the bundled MC-CNN-fast weights trained on MiddV2 GT
+    (cones/teddy/venus; tsukuba holdout matching accuracy 94.6%)."""
+    return load_params(default_weights_path())
+
+
 def save_params(path: str, params: Dict) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 

@@ -1,0 +1,118 @@
+"""Video-rate serving mode: persistent compiled engine + warm start.
+
+The reference is a batch binary (one pair per process, ``main.cpp:425-480``);
+this module adds the deployment shape the TPU build targets (BASELINE
+config 5): a long-lived stream where consecutive frames share the compiled
+executables (jit caches key on shapes + static config, so frame 2+ pays zero
+compilation) and each new frame warm-starts from the previous frame's plane
+labeling instead of random init.
+
+The warm start is the "cell" mode of :func:`models.engine.init_step`: each
+layer-0 cell is seeded with the previous labeling's plane at a random in-cell
+pixel — one dispatch, same cost as random init — rather than the reference's
+per-pixel warm evaluation (``FastGCStereo.h:117-130``, which its own comment
+calls "very slow"). A short per-frame schedule (default 1 graph-cut sweep)
+then adapts the labeling to the new frame.
+
+Usage::
+
+    stream = StereoStream(params, max_disp=145.0, unit_sizes=[14, 43, 129])
+    for im0, im1, vol0, vol1 in frames:
+        disp = stream.process(im0, im1, vol0, vol1)   # [H, W] float32
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Parameters
+from .models.engine import (COARSE_PROPOSERS, LAYER0_PROPOSERS,
+                            LocalExpansionSolver)
+from .ops import plane as plane_ops
+
+
+class StereoStream:
+    """Persistent stereo engine for frame streams of a fixed geometry.
+
+    Every frame must share (H, W) and — for the V3 volume term — ndisp;
+    violating that retriggers XLA compilation (still correct, just slow).
+
+    Args:
+      params: energy parameters (shared by all frames; static).
+      max_disp: disparity search range.
+      unit_sizes: grid cell sizes, coarse schedule as in the drivers.
+      layer_proposers: optional per-layer proposer names; defaults to the
+        reference sets (expansion+ransac+random on layer 0).
+      cold_iterations / cold_pm_iterations: schedule of the FIRST frame
+        (random init; the reference full schedule by default).
+      warm_iterations / warm_pm_iterations: schedule of subsequent frames
+        (default 1 GC sweep, no PatchMatch sweeps).
+      vol_dtype: cost-volume storage dtype ("bfloat16" halves HBM traffic).
+    """
+
+    def __init__(self, params: Parameters, max_disp: float,
+                 unit_sizes: Sequence[int],
+                 layer_proposers: Optional[List] = None,
+                 min_disp: float = 0.0, seed: int = 0,
+                 cold_iterations: int = 5, cold_pm_iterations: int = 2,
+                 warm_iterations: int = 1, warm_pm_iterations: int = 0,
+                 vol_dtype: str = "bfloat16"):
+        self.params = params
+        self.max_disp = float(max_disp)
+        self.min_disp = float(min_disp)
+        self.unit_sizes = list(unit_sizes)
+        self.layer_proposers = layer_proposers
+        self.seed = seed
+        self.cold = (cold_iterations, cold_pm_iterations)
+        self.warm = (warm_iterations, warm_pm_iterations)
+        self.vol_dtype = vol_dtype
+        self.frame_index = 0
+        self.last_frame_seconds: Optional[float] = None
+        self._prev_labeling: Optional[np.ndarray] = None
+
+    def _proposers(self, li: int):
+        if self.layer_proposers is not None:
+            return self.layer_proposers[li]
+        return LAYER0_PROPOSERS if li == 0 else COARSE_PROPOSERS
+
+    def process(self, im0: np.ndarray, im1: np.ndarray,
+                vol0: Optional[np.ndarray] = None,
+                vol1: Optional[np.ndarray] = None) -> np.ndarray:
+        """Estimates the left-view disparity map of one frame.
+
+        Returns [H, W] float32 disparities. ``last_frame_seconds`` holds the
+        wall time of this call (compilation excluded only in steady state —
+        time frame 0 separately when benchmarking).
+        """
+        t0 = time.perf_counter()
+        solver = LocalExpansionSolver(
+            im0, im1, self.params, self.max_disp, min_disp=self.min_disp,
+            vol0=vol0, vol1=vol1, seed=self.seed + self.frame_index,
+            vol_dtype=self.vol_dtype)
+        for li, sz in enumerate(self.unit_sizes):
+            solver.add_layer(sz, self._proposers(li))
+
+        if self._prev_labeling is None:
+            iters, pm = self.cold
+            labeling, _ = solver.run(iterations=iters, view_modes=(0,),
+                                     pm_iterations=pm)
+        else:
+            iters, pm = self.warm
+            labeling, _ = solver.run(iterations=iters, view_modes=(0,),
+                                     pm_iterations=pm,
+                                     init_labeling=self._prev_labeling,
+                                     init_mode="cell")
+
+        self._prev_labeling = np.asarray(labeling)
+        self.frame_index += 1
+        disp = np.asarray(plane_ops.disparity_map(jnp.asarray(labeling)))
+        self.last_frame_seconds = time.perf_counter() - t0
+        return disp
+
+    def reset(self):
+        """Drops the warm-start state (next frame runs the cold schedule)."""
+        self._prev_labeling = None

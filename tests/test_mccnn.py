@@ -81,3 +81,51 @@ def test_volume_feeds_solver():
     solver.add_layer(4, ("expansion", "ransac"))
     lab, _ = solver.run(iterations=1, view_modes=(0,), pm_iterations=1)
     assert np.isfinite(np.asarray(lab)).all()
+
+
+def test_default_weights_load():
+    """The bundled trained weights load and have the fast-MC-CNN shape."""
+    params = mccnn.load_default_params()
+    assert mccnn.num_layers(params) == 4
+    assert params["w0"].shape == (3, 3, 3, 32)
+    assert params["w3"].shape == (3, 3, 64, 64)
+
+
+@pytest.mark.slow
+def test_trained_weights_drive_solver_on_tsukuba_crop():
+    """BASELINE config 5 regression: the TRAINED weights' on-device volume
+    must drive the solver to a sane disparity map on real data (a tsukuba
+    crop; the full-image CLI run reaches bad1.0 nonocc ~4.2% after 1 pm +
+    2 GC sweeps)."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.models.engine import LocalExpansionSolver
+    from localexpstereo_tpu.ops import plane as plane_ops
+    from localexpstereo_tpu.utils import acrt, datasets
+
+    pair = datasets.load_data("/root/reference/data/MiddV2/tsukuba", 0)
+    y0, y1, x0, x1 = 96, 224, 128, 320
+    im0 = pair.im0[y0:y1, x0:x1]
+    im1 = pair.im1[y0:y1, x0:x1]
+    gt = pair.disp_gt[y0:y1, x0:x1]
+    nonocc = pair.nonocc[y0:y1, x0:x1]
+
+    params_net = mccnn.load_default_params()
+    vol0 = np.asarray(mccnn.cost_volume(
+        params_net, jnp.asarray(im0), jnp.asarray(im1), ndisp=pair.ndisp))
+    vol1 = acrt.fill_out_of_view(acrt.convert_volume_l2r(vol0), 1)
+
+    solver = LocalExpansionSolver(
+        im0, im1, PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5),
+        max_disp=float(pair.ndisp - 1), vol0=vol0, vol1=vol1, seed=0)
+    for sz in (3, 11, 17):
+        solver.add_layer(sz, ("expansion", "ransac"))
+    lab, _ = solver.run(iterations=2, view_modes=(0,), pm_iterations=1)
+
+    disp = np.asarray(plane_ops.disparity_map(jnp.asarray(lab)))
+    valid = nonocc & np.isfinite(gt) & (gt > 0)
+    # Pixels within ndisp of the crop's left edge have no true match inside
+    # the cropped right view (crop-induced occlusion the full-image nonocc
+    # mask cannot know about) — exclude them from scoring.
+    valid[:, :pair.ndisp + 1] = False
+    bad1 = 100.0 * (np.abs(disp - gt)[valid] > 1.0).mean()
+    assert bad1 < 12.0, f"bad1.0 nonocc {bad1:.2f}% on tsukuba crop"
