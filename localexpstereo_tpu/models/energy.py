@@ -466,7 +466,8 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 # Fast slab-based linear interpolation (same semantics).
                 raw = unary_volume.sample_windows_slab(
                     vol_un, proposals, fox, foy, fsize,
-                    cfg.min_disp, cfg.max_disp, cfg.params.th_col)
+                    cfg.min_disp, cfg.max_disp, cfg.params.th_col,
+                    budget_bytes=cfg.slab_budget)
             else:
                 raw = unary_volume.sample_windows(
                     vol_un, proposals, fox, foy, fsize,

@@ -93,14 +93,16 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             # image coordinates (row j of the superset is image row
             # gy0 - dy + j) and selecting the f-row window [dy, dy + f)
             # with a static where-chain (dy <= fr - f < 16 by construction).
-            full = pltpu.roll(slab[slot], -dx, 2)
+            # f32 cast BEFORE the roll: Mosaic's rotate only handles 32-bit
+            # data (the tent contraction needs f32 anyway).
+            full = pltpu.roll(slab[slot].astype(jnp.float32), -dx, 2)
             win = full[:, :, :f]                         # [d, fr, f]
             xs_r = gx0_ref[i] + ix_r
             ys_r = (gy0_ref[i] - dy.astype(jnp.float32)) + iy_r
             d_r = pa_ref[i] * xs_r + pb_ref[i] * ys_r + pc_ref[i]
             dv = jnp.clip(d_r + d0_off, 0.0, float(d_ - 1))
             tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
-            cost_r = jnp.sum(win.astype(jnp.float32) * tent, axis=0)
+            cost_r = jnp.sum(win * tent, axis=0)
             cost = cost_r[0:f]
             for k in range(1, fr - f + 1):
                 cost = jnp.where(dy == k, cost_r[k:k + f], cost)

@@ -31,7 +31,8 @@ from ..config import COST_FOR_INVALID
 def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
                         ox: jnp.ndarray, oy: jnp.ndarray, size: int,
                         min_disp: float, max_disp: float,
-                        th_col: float) -> jnp.ndarray:
+                        th_col: float,
+                        budget_bytes: int = 2 << 30) -> jnp.ndarray:
     """Linear-interpolation sampling via per-region volume slabs (fast path).
 
     Per-pixel gathers are index-rate-bound on TPU (~100x slower than
@@ -48,11 +49,12 @@ def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
     d_, h, w = vol.shape
     n = proposals.shape[0]
 
-    # Slab memory is N * D * F^2 floats; chunk the region batch so the
-    # transient stays under ~2 GB (the init path evaluates every cell of the
-    # image at once).
-    budget_bytes = 2 << 30
-    per_region = d_ * size * size * 4
+    # Chunk the region batch so the slab transient stays under the budget
+    # (the init path evaluates every cell of the image at once; the batched
+    # solver divides the budget by its per-device pair count). Account for
+    # XLA's (8, 128) tile padding of the trailing [F, F] dims — the
+    # physical allocation is ~5x the logical bytes at typical window sizes.
+    per_region = d_ * (-(-size // 8) * 8) * (-(-size // 128) * 128) * 4
     chunk = max(1, min(n, budget_bytes // max(per_region, 1)))
     if chunk < n:
         n_pad = -(-n // chunk) * chunk

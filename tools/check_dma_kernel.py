@@ -19,8 +19,7 @@ import numpy as np
 from localexpstereo_tpu.ops import unary_pallas
 
 
-def main():
-    assert jax.default_backend() == "tpu", "needs the real TPU"
+def check(dtype):
     rng = np.random.default_rng(0)
     D, H, W = 24, 64, 200
     pad = 16
@@ -37,14 +36,20 @@ def main():
                       rng.uniform(-0.2, 0.2, N),
                       rng.uniform(0, D - 1, N),
                       np.zeros(N)], -1).astype(np.float32)
-    args = (jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
+    args = (jnp.asarray(vol, dtype), jnp.asarray(props), jnp.asarray(fox),
             jnp.asarray(foy), pad, pad)
     kw = dict(f=f, height=H, width=W, min_disp=0.0, th_col=0.5)
     out = unary_pallas.sample_windows_dma(*args, **kw)
     ref = unary_pallas.sample_windows_dma(*args, **kw, interpret=True)
     diff = float(jnp.abs(out - ref).max())
-    print(f"max |tpu - interpret| = {diff}")
-    assert diff == 0.0, "DMA kernel mismatch on real TPU"
+    print(f"{jnp.dtype(dtype).name}: max |tpu - interpret| = {diff}")
+    assert diff == 0.0, f"DMA kernel mismatch on real TPU ({dtype})"
+
+
+def main():
+    assert jax.default_backend() == "tpu", "needs the real TPU"
+    check(jnp.float32)
+    check(jnp.bfloat16)   # the engine's default volume storage dtype
     print("OK")
 
 
