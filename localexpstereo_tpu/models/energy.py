@@ -40,6 +40,10 @@ class EnergyData(NamedTuple):
     vol: Optional[jnp.ndarray]   # [V, D, Hv, Wv] V3 cost volumes, spatially
                                  # zero-padded by cfg.vol_pad on each side so
                                  # regular-grid slab blocks slice densely
+    #: [V, 12, Hv, Wv] channel-major GF stats (guide 3, mean 3, inv-cov 6)
+    #: sharing vol's base offset + DMA alignment — feeds the fused
+    #: gather+tent+GF kernel (ops/unary_pallas.py). None off the DMA path.
+    gf_stack: Optional[jnp.ndarray] = None
 
 
 class SolverState(NamedTuple):
@@ -78,12 +82,22 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                  vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None,
                  interp: int = 1, vol_pad: int = 0,
-                 vol_dtype: str = "float32", vol_transform=None):
+                 vol_dtype: str = "float32", vol_transform=None,
+                 stats_backend: str = "host"):
     """Builds (EnergyData, EnergyConfig) for one stereo pair.
 
     Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
     (``main.cpp:386``); otherwise the V2 ``NaiveStereoEnergy`` warp term.
+
+    ``stats_backend="device"`` assembles everything with jnp ops (f32 GF
+    stats, on-device padding) so per-frame rebuilds move no bulk data over
+    the host link — the serving path. "host" (default) computes GF stats
+    in float64 numpy for reference parity (``StereoEnergy.h:673-681``).
     """
+    if stats_backend == "device":
+        return _build_energy_device(
+            im0_bgr, im1_bgr, params, max_disp, pad, min_disp, max_vdisp,
+            vol0, vol1, interp, vol_pad, vol_dtype, vol_transform)
     h, w = im0_bgr.shape[:2]
     kind = "volume" if vol0 is not None else "naive"
     r = params.guided_radius
@@ -94,7 +108,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             widths[ax] = (pad, pad)
         return np.pad(arr, widths)
 
-    guides, means, invs, coeffs = [], [], [], []
+    guides, means, invs, coeffs, stacks = [], [], [], [], []
     for im in (im0_bgr, im1_bgr):
         stats = guided.compute_stats(im, r, params.filter_param1)
         guides.append(pad_hw(np.asarray(stats.guide), (0, 1)))
@@ -103,6 +117,11 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         c8 = np.asarray(pairwise.smoothness_coeffs(
             jnp.asarray(im), params.omega, params.epsilon))
         coeffs.append(pad_hw(c8, (1, 2)))
+        stacks.append(np.concatenate([
+            np.moveaxis(np.asarray(stats.guide), -1, 0),
+            np.moveaxis(np.asarray(stats.mean), -1, 0),
+            np.moveaxis(np.nan_to_num(np.asarray(stats.inv)), -1, 0),
+        ]).astype(np.float32))                            # [12, H, W]
 
     exi = vol = None
     exi_pad = 0
@@ -140,6 +159,23 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         else:
             vol = jnp.asarray(vol_host)
 
+    gf_stack = None
+    if (kind == "volume" and vol_transform is None
+            and params.filter_name in ("GF", "GFfloat")):
+        # Channel-major stats stack for the fused DMA gather+tent+GF kernel,
+        # with the volume's exact base offset and alignment padding so one
+        # set of window origins serves both slabs.
+        vp = int(vol_pad)
+        stack_host = np.stack(stacks)                     # [2, 12, H, W]
+        stack_host = np.pad(stack_host,
+                            ((0, 0), (0, 0), (vp, vp), (vp, vp)))
+        stack_host = np.pad(
+            stack_host,
+            ((0, 0), (0, 0),
+             (0, vol.shape[2] - stack_host.shape[2]),
+             (0, vol.shape[3] - stack_host.shape[3])))
+        gf_stack = jnp.asarray(stack_host)
+
     data = EnergyData(
         guide=jnp.asarray(np.stack(guides)),
         gf_mean=jnp.asarray(np.stack(means)),
@@ -147,7 +183,74 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         coeff8=jnp.asarray(np.stack(coeffs)),
         exi=exi,
         vol=vol,
+        gf_stack=gf_stack,
     )
+    cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
+                       min_disp=min_disp, max_disp=max_disp,
+                       max_vdisp=max_vdisp, interp=interp,
+                       vol_pad=int(vol_pad) if kind == "volume" else 0,
+                       exi_pad=exi_pad)
+    return data, cfg
+
+
+def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
+                         max_disp: float, pad: int, min_disp: float,
+                         max_vdisp: float, vol0, vol1, interp: int,
+                         vol_pad: int, vol_dtype: str, vol_transform):
+    """jnp-only :func:`build_energy` (stats_backend="device")."""
+    assert vol_transform is None, \
+        "sharded volume placement needs the host build path"
+    h, w = (int(im0_bgr.shape[0]), int(im0_bgr.shape[1]))
+    kind = "volume" if vol0 is not None else "naive"
+    r = params.guided_radius
+
+    def pad_hw(arr, axes):
+        widths = [(0, 0)] * arr.ndim
+        for ax in axes:
+            widths[ax] = (pad, pad)
+        return jnp.pad(arr, widths)
+
+    guides, means, invs, coeffs, stacks = [], [], [], [], []
+    for im in (im0_bgr, im1_bgr):
+        im = jnp.asarray(im, jnp.float32)
+        stats = guided.compute_stats_device(im, r, params.filter_param1)
+        guides.append(pad_hw(stats.guide, (0, 1)))
+        means.append(pad_hw(stats.mean, (0, 1)))
+        invs.append(pad_hw(stats.inv, (0, 1)))
+        coeffs.append(pad_hw(pairwise.smoothness_coeffs(
+            im, params.omega, params.epsilon), (1, 2)))
+        stacks.append(jnp.concatenate([
+            jnp.moveaxis(stats.guide, -1, 0),
+            jnp.moveaxis(stats.mean, -1, 0),
+            jnp.moveaxis(stats.inv, -1, 0)]))
+
+    exi = vol = gf_stack = None
+    exi_pad = 0
+    if kind == "naive":
+        exi_pad = int(vol_pad) + int(np.ceil(max_disp)) + 1
+        ep = exi_pad
+        exi = jnp.pad(jnp.stack([
+            unary_warp.build_feature_image(jnp.asarray(im0_bgr), params.alpha),
+            unary_warp.build_feature_image(jnp.asarray(im1_bgr), params.alpha)]),
+            ((0, 0), (ep, ep), (ep, ep), (0, 0)))
+    else:
+        vp = int(vol_pad)
+        vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
+            jnp.dtype(vol_dtype))
+        hv0, wv0 = h + 2 * vp, w + 2 * vp
+        vol = jnp.pad(vol, ((0, 0), (0, 0),
+                            (vp, vp + (-hv0) % 8 + 8),
+                            (vp, vp + (-wv0) % 128 + 128)))
+        if params.filter_name in ("GF", "GFfloat"):
+            st = jnp.stack(stacks)
+            gf_stack = jnp.pad(st, ((0, 0), (0, 0),
+                                    (vp, vol.shape[2] - h - vp),
+                                    (vp, vol.shape[3] - w - vp)))
+
+    data = EnergyData(
+        guide=jnp.stack(guides), gf_mean=jnp.stack(means),
+        gf_inv=jnp.stack(invs), coeff8=jnp.stack(coeffs),
+        exi=exi, vol=vol, gf_stack=gf_stack)
     cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
                        min_disp=min_disp, max_disp=max_disp,
                        max_vdisp=max_vdisp, interp=interp,
@@ -443,14 +546,20 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     fox = ox + foff
     foy = oy + foff
 
+    fused_gf = (vol_dma and data.gf_stack is not None
+                and cfg.params.filter_name in ("GF", "GFfloat"))
     if cfg.kind == "volume":
         if vol_dma:
             # Fused HBM-window-gather + tent kernel (ops/unary_pallas.py):
             # no hoisted slab array, traffic = exactly the window bytes.
+            # With fused_gf the guided filter runs in the same VMEM pass,
+            # so no stats hoist or per-step GF round trip exists either.
             raw = unary_pallas.sample_windows_dma(
                 data.vol[mode], proposals, fox, foy, cfg.vol_pad,
                 cfg.vol_pad, f=fsize, height=cfg.height, width=cfg.width,
-                min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+                min_disp=cfg.min_disp, th_col=cfg.params.th_col,
+                stats=data.gf_stack[mode] if fused_gf else None,
+                r_gf=r if fused_gf else 0)
         elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
@@ -496,7 +605,9 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 1.0 if mode == 0 else -1.0, cfg.params.th_col,
                 cfg.params.th_grad, cfg.params.alpha)
 
-    if cfg.params.filter_name in ("GF", "GFfloat"):
+    if fused_gf:
+        q = raw                      # already guided-filtered in the kernel
+    elif cfg.params.filter_name in ("GF", "GFfloat"):
         if stat_windows is None:
             stat_windows = slice_filter_windows(data, cfg, mode, ox, oy,
                                                 target_off, target_size)

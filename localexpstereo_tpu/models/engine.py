@@ -159,21 +159,32 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # block ops ~2.5x slower per proposal step on v5e, so the region-major
     # path stays the default; the block path remains oracle-tested.)
     use_block = False
-    # V3 raw sampling backend: the fused DMA gather+tent kernel on TPU
+    # V3 raw sampling backend: the fused DMA gather+tent(+GF) kernel on TPU
     # (ops/unary_pallas.py) needs no hoisted slab array at all. Gated by
-    # the VMEM footprint of its double-buffered aligned slab — fine and
-    # middle layers fit comfortably; the coarse layer's ~400px windows
-    # would need >150 MB and stay on the XLA slab path.
+    # the VMEM footprint of its double-buffered aligned slab. OPT-IN
+    # ("dma"), not the default: the per-region DMA must fetch a
+    # 128-lane-aligned superset, ~4x the window's true bytes at the fine
+    # layer, and measures ~2 s/frame SLOWER than the XLA dense slab hoist
+    # on the halfH benchmark (19.9 vs 17.9 s full schedule) even with the
+    # guided filter fused in. A strip-mined variant (one DMA per region
+    # row) is the way to make it win; until then "auto" = XLA.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
-                   and cfg.unary_backend in ("dma", "auto")
+                   and cfg.unary_backend == "dma"
                    and jax.default_backend() == "tpu")
+    fused_gf = False
     if use_vol_dma:
         f_win = ss + 2 * cfg.params.guided_radius   # unary_windows' fsize
         fr = (f_win + 7) // 8 * 8 + 8
         fc = (f_win + 127) // 128 * 128 + 128
         d_ = int(data.vol.shape[1])
         itemsize = jnp.dtype(data.vol.dtype).itemsize
-        use_vol_dma = 2 * d_ * fr * fc * itemsize <= 80 * 1024 * 1024
+        fused_gf = (data.gf_stack is not None
+                    and cfg.params.filter_name in ("GF", "GFfloat"))
+        slab_bytes = 2 * d_ * fr * fc * itemsize
+        if fused_gf:
+            slab_bytes += 2 * 12 * fr * fc * 4
+        use_vol_dma = slab_bytes <= 80 * 1024 * 1024
+        fused_gf = fused_gf and use_vol_dma
     stat_windows = vol_slabs = exi_slabs = None
     stat_blocks = slab_block = None
     if use_block:
@@ -183,7 +194,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         slab_block = energy_mod.dense_volume_slabs_block(
             data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
             vol_row_base=vol_row_base)
-    elif cfg.params.filter_name:
+    elif cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
     if (cfg.kind == "volume" and cfg.interp == 1 and not use_block
@@ -211,7 +222,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         if not use_fused:
             coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
 
-    for idx, step in enumerate(plan):
+    def step_body(idx, step, labeling_m, cost_m):
         k = jax.random.fold_in(key, idx)
         cell_labels = windows.dense_windows(labeling_m, coy + p + s,
                                             cox + p + s, nby, nbx, t4, s)
@@ -237,8 +248,12 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                                              vol_slabs, exi_slabs,
                                              vol_dma=use_vol_dma)
         if step_active is not None:
-            # Inactive steps propose at COST_FOR_INVALID so the min-cut
-            # solve below converges immediately (all-current cut).
+            # Inactive steps (random-perturbation decay early-stop,
+            # ``Proposer.h:149-152``) propose at COST_FOR_INVALID so nothing
+            # is accepted and the min-cut converges immediately. (A real
+            # lax.cond branch around the whole step was A/B'd: TPU
+            # conditionals serialize the pipeline — 17.3 -> 22.5 s/frame —
+            # so masked no-op steps are strictly better.)
             pcost = jnp.where(step_active[idx], pcost,
                               energy_mod.COST_FOR_INVALID)
         ccost = windows.dense_windows(cost_m, coy_u + p, cox + p, nby_u, nbx,
@@ -293,6 +308,10 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         labeling_m = jax.lax.dynamic_update_slice(
             labeling_m, jnp.where(acc_c[..., None], lab_c, cur_lab),
             start2 + (0,))
+        return labeling_m, cost_m
+
+    for idx, step in enumerate(plan):
+        labeling_m, cost_m = step_body(idx, step, labeling_m, cost_m)
 
     return labeling_m, cost_m
 
@@ -503,7 +522,8 @@ class LocalExpansionSolver:
                  params: Parameters, max_disp: float, min_disp: float = 0.0,
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
-                 interp: int = 1, vol_dtype: str = "bfloat16"):
+                 interp: int = 1, vol_dtype: str = "bfloat16",
+                 stats_backend: str = "host"):
         self.im0 = np.asarray(im0_bgr, np.float32)
         self.im1 = np.asarray(im1_bgr, np.float32)
         self.params = params
@@ -514,6 +534,7 @@ class LocalExpansionSolver:
         self.vol1 = vol1
         self.interp = interp
         self.vol_dtype = vol_dtype
+        self.stats_backend = stats_backend
         self.seed = seed
         self.unit_sizes: List[int] = []
         self.layer_proposers: List[Tuple[str, ...]] = []
@@ -542,7 +563,8 @@ class LocalExpansionSolver:
         self.data, self.cfg = energy_mod.build_energy(
             self.im0, self.im1, self.params, self.max_disp, pad,
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
-            vol_pad=vol_pad, vol_dtype=self.vol_dtype)
+            vol_pad=vol_pad, vol_dtype=self.vol_dtype,
+            stats_backend=self.stats_backend)
 
     # ------------------------------------------------------------- sweeps --
 

@@ -70,6 +70,41 @@ def compute_stats(image: np.ndarray, radius: int, eps: float,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("radius",))
+def compute_stats_device(image: jnp.ndarray, radius: int, eps: float,
+                         scaling: float = 1.0 / 255.0) -> GuidedFilterStats:
+    """On-device float32 variant of :func:`compute_stats` (same math).
+
+    The host path runs in float64 for reference parity
+    (``StereoEnergy.h:673-681``); this one trades that for zero host work
+    and zero host->device stats traffic — the serving path's per-frame
+    budget (``serving.StereoStream``). f32 vs f64 stats shift unary costs
+    by O(1e-6), far below the move-acceptance noise floor.
+    """
+    I = jnp.asarray(image, jnp.float32) * scaling
+    ones = jnp.ones(I.shape[:2], jnp.float32)
+    n = boxfilter.boxsum2d(ones, radius)
+    mean = boxfilter.boxsum2d(jnp.moveaxis(I, -1, 0), radius) / n
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    var = []
+    for k, (i, j) in enumerate(pairs):
+        v = boxfilter.boxsum2d(I[..., i] * I[..., j], radius) / n \
+            - mean[i] * mean[j]
+        var.append(v + eps if i == j else v)
+    rr, rg, rb, gg, gb, bb = var
+    inv_rr = gg * bb - gb * gb
+    inv_rg = gb * rb - rg * bb
+    inv_rb = rg * gb - gg * rb
+    inv_gg = rr * bb - rb * rb
+    inv_gb = rb * rg - rr * gb
+    inv_bb = rr * gg - rg * rg
+    det = inv_rr * rr + inv_rg * rg + inv_rb * rb
+    inv = jnp.stack([inv_rr, inv_rg, inv_rb, inv_gg, inv_gb, inv_bb],
+                    -1) / det[..., None]
+    return GuidedFilterStats(guide=I, mean=jnp.moveaxis(mean, 0, -1),
+                             inv=jnp.nan_to_num(inv))
+
+
 def _np_boxsum(x: np.ndarray, radius: int) -> np.ndarray:
     """Zero-padded (2R+1)^2 box sum via summed-area table (host, float64)."""
     h, w = x.shape

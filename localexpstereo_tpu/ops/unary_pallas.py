@@ -33,11 +33,69 @@ from ..config import COST_FOR_INVALID
 _RB = 8
 
 
+# ------------------------------------------------------------ VMEM box sums
+# Static-shift prefix sums on 2D [F, F] tiles (axis 0 = sublanes, axis 1 =
+# lanes). Mosaic lowers static concatenate-shifts to plain vector ops; the
+# box filter then reproduces ops/boxfilter.boxsum2d's zero-pad semantics.
+
+
+def _shift_zero(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """out[i] = x[i - k] (static k > 0), zero fill."""
+    pad_shape = list(x.shape)
+    pad_shape[axis] = k
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, x.shape[axis] - k)
+    return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x[tuple(sl)]],
+                           axis)
+
+
+def _shift_edge(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """out[i] = x[min(i + k, n - 1)] (static k > 0), edge replicate."""
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(k, n)
+    last = [slice(None)] * x.ndim
+    last[axis] = slice(n - 1, n)
+    edge_shape = list(x.shape)
+    edge_shape[axis] = k
+    return jnp.concatenate(
+        [x[tuple(sl)], jnp.broadcast_to(x[tuple(last)], edge_shape)], axis)
+
+
+def _cumsum_static(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    k = 1
+    while k < n:
+        x = x + _shift_zero(x, k, axis)
+        k *= 2
+    return x
+
+
+def _box1d(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
+    c = _cumsum_static(x, axis)
+    return _shift_edge(c, r, axis) - _shift_zero(c, r + 1, axis)
+
+
+def _box2d(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    return _box1d(_box1d(x, r, 0), r, 1)
+
+
 def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
                  rb: int, d0_off: float, th_col: float,
-                 height: int, width: int):
+                 height: int, width: int, r_gf: int = 0):
+    """Kernel factory. ``r_gf = 0``: raw tent-sampled cost windows.
+    ``r_gf > 0``: additionally guided-filters each window in VMEM using the
+    DMA'd global-stats slab (guide 3 + mean 3 + inv-cov 6 channels), fusing
+    ``guided.filter_windows`` into the same pass — no stats hoist, no
+    per-step GF round trip through HBM."""
+
     def kernel(oyv_ref, oxv_ref, pa_ref, pb_ref, pc_ref, gx0_ref, gy0_ref,
-               vol_ref, out_ref, slab, sem):
+               vol_ref, *rest):
+        if r_gf > 0:
+            stats_ref, out_ref, slab, sslab, sem, ssem = rest
+        else:
+            out_ref, slab, sem = rest
+            stats_ref = sslab = ssem = None
         pid = pl.program_id(0)
         base = pid * rb
 
@@ -61,7 +119,18 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
                 vol_ref.at[:, pl.ds(oy_al, fr), pl.ds(ox_al, fc)],
                 slab.at[slot], sem.at[slot])
 
+        def get_stats_dma(slot, ridx):
+            # gf_stack shares the volume's base offset and alignment padding
+            # (build_energy), so the SAME aligned origins and dy/dx serve
+            # both slabs.
+            oy_al, ox_al, _, _ = aligned(ridx)
+            return pltpu.make_async_copy(
+                stats_ref.at[:, pl.ds(oy_al, fr), pl.ds(ox_al, fc)],
+                sslab.at[slot], ssem.at[slot])
+
         get_dma(0, 0).start()
+        if r_gf > 0:
+            get_stats_dma(0, 0).start()
 
         # Mosaic's tpu.iota is integer-only; cast after.
         iy_r = jax.lax.broadcasted_iota(jnp.int32, (fr, f), 0
@@ -81,8 +150,12 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             @pl.when(r + 1 < rb)
             def _():
                 get_dma(jax.lax.rem(r + 1, 2), r + 1).start()
+                if r_gf > 0:
+                    get_stats_dma(jax.lax.rem(r + 1, 2), r + 1).start()
 
             get_dma(slot, r).wait()
+            if r_gf > 0:
+                get_stats_dma(slot, r).wait()
             i = base + r
             dy, dx = aligned(r)[2:]
             # Mosaic cannot offset-slice VMEM at runtime offsets, and its
@@ -112,7 +185,41 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
             cost = jnp.minimum(cost, th_col)
             in_im = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
-            out_ref[r] = jnp.where(in_im, cost, 0.0)
+            p = jnp.where(in_im, cost, 0.0)
+            if r_gf == 0:
+                out_ref[r] = p
+                return carry
+
+            # ---- fused guided filter (guided.filter_windows semantics) ----
+            sfull = pltpu.roll(sslab[slot], -dx, 2)
+            swin_r = sfull[:, :, :f]                     # [12, fr, f]
+            sw = swin_r[:, 0:f]
+            for k in range(1, fr - f + 1):
+                sw = jnp.where(dy == k, swin_r[:, k:k + f], sw)
+            g0, g1, g2 = sw[0], sw[1], sw[2]
+            m0, m1, m2 = sw[3], sw[4], sw[5]
+            i0, i1, i2, i3, i4, i5 = (sw[6], sw[7], sw[8], sw[9], sw[10],
+                                      sw[11])
+            maskf = in_im.astype(jnp.float32)
+            nbox = _box2d(maskf, r_gf)
+            inv_n = 1.0 / jnp.maximum(nbox, 1e-8)
+            s_p = _box2d(p, r_gf)
+            s0 = _box2d(p * g0, r_gf)
+            s1 = _box2d(p * g1, r_gf)
+            s2 = _box2d(p * g2, r_gf)
+            mean_p = s_p * inv_n
+            c0 = s0 * inv_n - m0 * mean_p
+            c1 = s1 * inv_n - m1 * mean_p
+            c2 = s2 * inv_n - m2 * mean_p
+            a_r = i0 * c0 + i1 * c1 + i2 * c2
+            a_g = i1 * c0 + i3 * c1 + i4 * c2
+            a_b = i2 * c0 + i4 * c1 + i5 * c2
+            b = mean_p - a_r * m0 - a_g * m1 - a_b * m2
+            ab0 = _box2d(a_r * maskf, r_gf)
+            ab1 = _box2d(a_g * maskf, r_gf)
+            ab2 = _box2d(a_b * maskf, r_gf)
+            ab3 = _box2d(b * maskf, r_gf)
+            out_ref[r] = (ab0 * g0 + ab1 * g1 + ab2 * g2 + ab3) * inv_n
             return carry
 
         jax.lax.fori_loop(0, rb, body, None, unroll=False)
@@ -121,14 +228,17 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
 
 
 @functools.partial(jax.jit, static_argnames=("f", "height", "width",
-                                             "min_disp", "th_col", "rb",
-                                             "interpret"))
+                                             "min_disp", "th_col", "r_gf",
+                                             "rb", "interpret"))
 def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
                        fox: jnp.ndarray, foy: jnp.ndarray, row_base,
                        col_base, *, f: int, height: int, width: int,
-                       min_disp: float, th_col: float, rb: int = _RB,
+                       min_disp: float, th_col: float,
+                       stats: jnp.ndarray = None, r_gf: int = 0,
+                       rb: int = _RB,
                        interpret: bool = False) -> jnp.ndarray:
-    """Raw unary cost windows sampled straight from the HBM volume.
+    """Unary cost windows sampled straight from the HBM volume — raw, or
+    guided-filtered in the same VMEM pass when ``stats``/``r_gf`` are given.
 
     Args:
       vol: [D, Hv, Wv] PADDED volume (image pixel (x, y) at array
@@ -137,9 +247,14 @@ def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
         (may be negative — the padding guarantees array-coord slices are
         in bounds, ``grid.required_volume_padding``).
       row_base, col_base: traced image->array offsets (``cfg.vol_pad``).
+      stats: optional [12, Hv, Wv] float32 guided-filter global stats
+        (guide 3, mean 3, inverse covariance 6) sharing the volume's base
+        offset and alignment padding (``EnergyData.gf_stack[mode]``).
+      r_gf: guided-filter radius; 0 disables the fused filter.
     Returns:
-      [N, F, F] float32 raw costs, 0 outside the image (identical semantics
-      to :func:`unary_volume.sample_slabs_aligned`).
+      [N, F, F] float32 — raw masked costs (identical semantics to
+      :func:`unary_volume.sample_slabs_aligned`), or, with ``r_gf > 0``,
+      the guided-filtered windows (``guided.filter_windows`` semantics).
     """
     d_ = vol.shape[0]
     n = proposals.shape[0]
@@ -162,16 +277,26 @@ def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
     assert hv % 8 == 0 and wv % 128 == 0, \
         "volume needs DMA alignment padding (build_energy appends it)"
     kernel = _make_kernel(d_, f, fr, fc, hv, wv, rb, float(-min_disp),
-                          float(th_col), height, width)
+                          float(th_col), height, width, r_gf=r_gf)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [pltpu.VMEM((2, d_, fr, fc), vol.dtype)]
+    operands = [vol]
+    if r_gf > 0:
+        assert stats is not None and stats.shape[1:] == (hv, wv), \
+            "gf_stack must share the volume's padded geometry"
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, stats.shape[0], fr, fc), stats.dtype))
+        operands.append(stats)
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    else:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(n_pad // rb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rb, f, f), lambda i, *_: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, d_, fr, fc), vol.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -180,5 +305,5 @@ def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(oyv, oxv, pa, pb, pc, gx0, gy0, vol)
+    )(oyv, oxv, pa, pb, pc, gx0, gy0, *operands)
     return out[:n]

@@ -86,15 +86,19 @@ class BatchedSolver:
                 vol0=None if vols0 is None else vols0[b],
                 vol1=None if vols1 is None else vols1[b], vol_pad=vol_pad,
                 vol_dtype=vol_dtype)
-            datas.append(data)
+            # The batched path stays on the XLA unary backend — drop the
+            # DMA-kernel stats stack instead of replicating it per pair.
+            datas.append(data._replace(gf_stack=None))
         if mincut_backend is not None:
             cfg = dataclasses.replace(cfg, mincut_backend=mincut_backend)
         # The slab hoist materializes once per vmapped pair: scale the HBM
         # budget down so large batches fall back to the gather path instead
-        # of exceeding device memory.
+        # of exceeding device memory. The Pallas DMA unary kernel is a
+        # per-pair scalar-prefetch kernel — keep the vmapped path on XLA.
         local_pairs = -(-self.batch // max(len(mesh.devices.flat), 1))
         cfg = dataclasses.replace(
-            cfg, slab_budget=cfg.slab_budget // max(local_pairs, 1))
+            cfg, slab_budget=cfg.slab_budget // max(local_pairs, 1),
+            unary_backend="xla")
         self.cfg = cfg
         shard = NamedSharding(mesh, P("data"))
         self.data = jax.tree.map(

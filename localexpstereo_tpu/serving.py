@@ -60,7 +60,8 @@ class StereoStream:
                  min_disp: float = 0.0, seed: int = 0,
                  cold_iterations: int = 5, cold_pm_iterations: int = 2,
                  warm_iterations: int = 1, warm_pm_iterations: int = 0,
-                 vol_dtype: str = "bfloat16"):
+                 vol_dtype: str = "bfloat16",
+                 stats_backend: str = "device"):
         self.params = params
         self.max_disp = float(max_disp)
         self.min_disp = float(min_disp)
@@ -70,6 +71,7 @@ class StereoStream:
         self.cold = (cold_iterations, cold_pm_iterations)
         self.warm = (warm_iterations, warm_pm_iterations)
         self.vol_dtype = vol_dtype
+        self.stats_backend = stats_backend
         self.frame_index = 0
         self.last_frame_seconds: Optional[float] = None
         self._prev_labeling: Optional[np.ndarray] = None
@@ -92,7 +94,7 @@ class StereoStream:
         solver = LocalExpansionSolver(
             im0, im1, self.params, self.max_disp, min_disp=self.min_disp,
             vol0=vol0, vol1=vol1, seed=self.seed + self.frame_index,
-            vol_dtype=self.vol_dtype)
+            vol_dtype=self.vol_dtype, stats_backend=self.stats_backend)
         for li, sz in enumerate(self.unit_sizes):
             solver.add_layer(sz, self._proposers(li))
 

@@ -58,3 +58,48 @@ def test_evaluator_log_format(tmp_path):
     ev.close()
     text = open(os.path.join(str(tmp_path), "log_output.txt")).read()
     assert text.splitlines()[0] == "Time\tEng\tData\tSmooth\tall\tnonocc"
+
+
+@pytest.mark.slow
+def test_midv3_end_to_end_acrt(tmp_path):
+    """Full MidV3 driver on a synthetic dataset: .acrt volume (threaded
+    native loader path incl. L->R recovery), 1%/3%/9% layers, evaluator
+    log, disp0.pfm — and the solver recovers the planted disparity."""
+    import cv2
+
+    from localexpstereo_tpu.utils import acrt, pfm
+
+    rng = np.random.default_rng(0)
+    h, w, nd = 60, 120, 16
+    target = tmp_path / "scene"
+    target.mkdir()
+    im = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(target / "im0.png"), im)
+    cv2.imwrite(str(target / "im1.png"), im)
+    with open(target / "calib.txt", "w") as f:
+        f.write(f"width={w}\nheight={h}\nndisp={nd}\n")
+
+    # Planted slanted-plane truth + quadratic-basin volume.
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    truth = np.clip(0.05 * xs + 0.02 * ys + 3.0, 1, nd - 2)
+    d = np.arange(nd, dtype=np.float32)[:, None, None]
+    vol = np.minimum((d - truth[None]) ** 2 * 0.2, 1.0).astype(np.float32)
+    acrt.write_acrt(str(target / "im0.acrt"), vol)
+
+    out = tmp_path / "out"
+    rc = cli.main(["-mode", "MiddV3", "-targetDir", str(target),
+                   "-outputDir", str(out), "-iterations", "2",
+                   "-pmIterations", "1", "-seed", "0"])
+    assert rc == 0
+
+    disp = pfm.read_pfm(str(out / "disp0.pfm"))
+    assert disp.shape == (h, w)
+    # interior recovery (borders lack volume support)
+    err = np.abs(disp - truth)[8:-8, nd:-8]
+    assert np.median(err) < 0.5
+    assert (err < 1.0).mean() > 0.8
+
+    rows = open(out / "debug" / "log_output.txt").read().strip().splitlines()
+    eng = [float(r.split("\t")[1]) for r in rows[1:]]
+    assert eng[2] <= eng[1] and eng[3] <= eng[2]

@@ -60,3 +60,64 @@ def test_dma_sampler_bf16_volume():
         h, w, min_disp=0.0, th_col=1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_dma_fused_gf_matches_filter_windows():
+    """Fused in-kernel guided filter vs sample + guided.filter_windows."""
+    from localexpstereo_tpu.ops import guided
+
+    rng = np.random.default_rng(2)
+    d, h, w, vp, n, f, r = 6, 26, 30, 12, 9, 11, 3
+    vol = rng.random((d, h + 2 * vp, w + 2 * vp), np.float32)
+    vol = np.pad(vol, ((0, 0), (0, (-vol.shape[1]) % 8 + 8),
+                       (0, (-vol.shape[2]) % 128 + 128)))
+    # Random (but well-conditioned) stats planes in the stacked layout.
+    stack = rng.random((12, h, w)).astype(np.float32)
+    stack[6:] = stack[6:] * 0.5 + 0.25          # inv-cov entries
+    stack_p = np.zeros((12,) + vol.shape[1:], np.float32)
+    stack_p[:, vp:vp + h, vp:vp + w] = stack
+
+    props = np.stack([rng.uniform(-0.3, 0.3, n), rng.uniform(-0.3, 0.3, n),
+                      rng.uniform(0, d - 1, n), np.zeros(n)],
+                     -1).astype(np.float32)
+    fox = rng.integers(-4, w - 3, n).astype(np.int32)
+    foy = rng.integers(-4, h - 3, n).astype(np.int32)
+
+    got = unary_pallas.sample_windows_dma(
+        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
+        jnp.asarray(foy), vp, vp, f=f, height=h, width=w, min_disp=0.0,
+        th_col=0.8, stats=jnp.asarray(stack_p), r_gf=r, rb=4,
+        interpret=True)
+
+    # Reference composition: raw windows then guided.filter_windows with
+    # the SAME stats sliced per window (zeros outside the image, matching
+    # the stacked array's padding).
+    raw = unary_pallas.sample_windows_dma(
+        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
+        jnp.asarray(foy), vp, vp, f=f, height=h, width=w, min_disp=0.0,
+        th_col=0.8, rb=4, interpret=True)
+
+    def win(ch, x0, y0):
+        return stack_p[ch, y0 + vp:y0 + vp + f, x0 + vp:x0 + vp + f]
+
+    gwin = np.stack([np.stack([win(c, x, y) for c in range(3)], -1)
+                     for x, y in zip(fox, foy)])
+    mwin = np.stack([np.stack([win(3 + c, x, y) for c in range(3)], -1)
+                     for x, y in zip(fox, foy)])
+    iwin = np.stack([np.stack([win(6 + c, x, y) for c in range(6)], -1)
+                     for x, y in zip(fox, foy)])
+    ys = foy[:, None, None] + np.arange(f)[None, :, None]
+    xs = fox[:, None, None] + np.arange(f)[None, None, :]
+    fmask = ((xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)).astype(np.float32)
+    want = guided.filter_windows(raw, jnp.asarray(gwin), jnp.asarray(mwin),
+                                 jnp.asarray(iwin), jnp.asarray(fmask), r)
+    # filter_windows output is only defined where the box window has
+    # in-image support (its docstring); at zero-support positions both
+    # implementations divide by the 1e-8 clamp and tiny float differences
+    # explode. The engine multiplies those away with tmask — compare the
+    # supported region.
+    from localexpstereo_tpu.ops import boxfilter
+    support = np.asarray(boxfilter.boxsum2d(jnp.asarray(fmask), r)) > 0.5
+    got_m = np.where(support, np.asarray(got), 0.0)
+    want_m = np.where(support, np.asarray(want), 0.0)
+    np.testing.assert_allclose(got_m, want_m, rtol=2e-4, atol=2e-4)

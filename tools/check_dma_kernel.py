@@ -46,10 +46,42 @@ def check(dtype):
     assert diff == 0.0, f"DMA kernel mismatch on real TPU ({dtype})"
 
 
+def check_fused_gf():
+    """Fused in-kernel guided filter: hardware vs interpret mode."""
+    rng = np.random.default_rng(1)
+    D, H, W = 16, 56, 180
+    pad, f, r, N = 16, 26, 4, 11
+    hv0, wv0 = H + 2 * pad, W + 2 * pad
+    hv = (hv0 + 7) // 8 * 8 + 8
+    wv = (wv0 + 127) // 128 * 128 + 128
+    vol = np.zeros((D, hv, wv), np.float32)
+    vol[:, pad:pad + H, pad:pad + W] = rng.random((D, H, W),
+                                                  ).astype(np.float32)
+    stats = np.zeros((12, hv, wv), np.float32)
+    stats[:, pad:pad + H, pad:pad + W] = rng.random((12, H, W),
+                                                    ).astype(np.float32)
+    fox = rng.integers(-pad, W - 5, N).astype(np.int32)
+    foy = rng.integers(-pad, H - 5, N).astype(np.int32)
+    props = np.stack([rng.uniform(-0.2, 0.2, N),
+                      rng.uniform(-0.2, 0.2, N),
+                      rng.uniform(0, D - 1, N),
+                      np.zeros(N)], -1).astype(np.float32)
+    args = (jnp.asarray(vol, jnp.bfloat16), jnp.asarray(props),
+            jnp.asarray(fox), jnp.asarray(foy), pad, pad)
+    kw = dict(f=f, height=H, width=W, min_disp=0.0, th_col=0.5,
+              stats=jnp.asarray(stats), r_gf=r)
+    out = unary_pallas.sample_windows_dma(*args, **kw)
+    ref = unary_pallas.sample_windows_dma(*args, **kw, interpret=True)
+    diff = float(jnp.abs(out - ref).max())
+    print(f"fused-gf: max |tpu - interpret| = {diff}")
+    assert diff < 1e-3, "fused GF kernel mismatch on real TPU"
+
+
 def main():
     assert jax.default_backend() == "tpu", "needs the real TPU"
     check(jnp.float32)
     check(jnp.bfloat16)   # the engine's default volume storage dtype
+    check_fused_gf()
     print("OK")
 
 
