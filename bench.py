@@ -16,7 +16,7 @@ Extra fields (unless BENCH_FAST=1):
 - ``cones_doDual_s`` / ``cones_bad05_nonocc``: REAL-data V2 end-to-end run
   (bundled cones, full 5 GC + 2 PM dual-view schedule incl. postprocess), so
   min-cut convergence counts reflect real image statistics;
-- ``batch4_s_per_frame``: amortized throughput of a 4-pair batched run
+- ``batch2_s_per_frame``: amortized throughput of a 2-pair batched run
   (``parallel/batch.py``) at half scale on ONE chip, scaled by
   pixel-disparity volume to halfH-equivalent frames. This is a functional
   demonstration of the vmapped multi-pair path, not the deployment shape:
@@ -147,9 +147,12 @@ def bench_cones():
     return elapsed, bad
 
 
-def bench_batch(scale=0.5, batch=4, iters=5, pm_iters=2):
-    """Amortized throughput: a 4-pair batch on ONE chip (a v5e-8 mesh runs
-    the same executable with the 'data' axis spread over 8 chips)."""
+def bench_batch(scale=0.5, batch=2, iters=5, pm_iters=2):
+    """Amortized throughput of a multi-pair batch on ONE chip (a v5e-8 mesh
+    runs the same executable with the 'data' axis spread over 8 chips, one
+    pair per chip). batch=2 keeps the per-pair slab budget large enough for
+    the dense hoist path; larger one-chip batches fall back to chunked
+    gathers and measure the fallback, not the deployment shape."""
     import jax
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.parallel import batch as batch_mod
@@ -231,7 +234,7 @@ def main():
         except Exception as e:  # extras must never sink the primary metric
             out["cones_error"] = str(e)[:200]
         try:
-            out["batch4_s_per_frame"] = round(bench_batch(), 3)
+            out["batch2_s_per_frame"] = round(bench_batch(), 3)
         except Exception as e:
             out["batch_error"] = str(e)[:200]
         try:
