@@ -1,9 +1,11 @@
 """Benchmark: MiddV3 halfH-scale local expansion stereo on real TPU.
 
-Prints ONE JSON line whose primary metric is sec/frame for the reference's
-headline workload shape (Adirondack halfH: 1436x992, MC-CNN cost volume)
-running the full pipeline — 2 PatchMatch-init sweeps + 5 graph-cut sweeps,
-single view, layers {1%, 3%, 9%} of width with the reference proposer sets.
+Prints the primary JSON line IMMEDIATELY after the primary leg finishes
+(and re-prints a merged line with extras at the end — parsers may take
+either). The primary metric is sec/frame for the reference's headline
+workload shape (Adirondack halfH: 1436x992, MC-CNN cost volume) running
+the full pipeline — 2 PatchMatch-init sweeps + 5 graph-cut sweeps, single
+view, layers {1%, 3%, 9%} of width with the reference proposer sets.
 
 The MC-CNN volume itself is not redistributable (the reference's
 ``data/MiddV3`` README asks users to download it), so the volume is
@@ -12,39 +14,124 @@ up to min-cut convergence, which the synthetic slanted-plane volume
 exercises. ``vs_baseline`` compares against the reference CPU binary's 237 s
 end-to-end Adirondack time (``GuidedFilter.h:139-141``; see BASELINE.md).
 
-Extra fields (unless BENCH_FAST=1):
-- ``cones_doDual_s`` / ``cones_bad05_nonocc``: REAL-data V2 end-to-end run
-  (bundled cones, full 5 GC + 2 PM dual-view schedule incl. postprocess), so
-  min-cut convergence counts reflect real image statistics;
-- ``batch2_s_per_frame``: amortized throughput of a 2-pair batched run
-  (``parallel/batch.py``) at half scale on ONE chip, scaled by
-  pixel-disparity volume to halfH-equivalent frames. This is a functional
-  demonstration of the vmapped multi-pair path, not the deployment shape:
-  interleaving pairs on one chip shares the same compute units.
-- ``v5e8_throughput_s_per_frame_est``: the deployment estimate for the
-  BASELINE v5e-8 target — 8 chips each solving their own pair
-  (communication-free data parallelism over the mesh's ``data`` axis; the
-  sharded program itself is validated by ``__graft_entry__.
-  dryrun_multichip``), i.e. the measured single-chip latency / 8.
+Robustness (round-3 hardening — round 2's number was lost to a driver
+timeout against a wedged tunneled device):
+
+- a persistent JAX compilation cache lives in ``.jax_cache/`` next to this
+  file, so repeat runs in the same workspace start compile-warm;
+- a startup probe dispatches one tiny device op with a hard timeout and
+  emits a parseable error record if the device never answers;
+- a watchdog thread monitors per-sweep heartbeats and emits an error record
+  if the device wedges before the primary metric lands;
+- warmup is ONE pm + ONE gc sweep — the proposal plans are padded to the
+  outer_iter=0 variant (engine._layer_inputs), so this compiles the exact
+  executables the full timed schedule reuses;
+- extra legs are gated on a wall-clock budget (BENCH_BUDGET_S, default
+  1500 s) and individually exception-guarded.
+
+Extra fields (unless BENCH_FAST=1, each skipped once over budget):
 - ``videorate_s_per_frame``: steady-state serving mode (``serving.py``) —
   persistent compiled engine, cell-seeded warm start from the previous
-  frame, 1 GC sweep per frame, at the full halfH scale.
+  frame, 1 GC sweep per frame, at the full halfH scale (shares the primary
+  leg's executables);
+- ``cones_doDual_s`` / ``cones_bad05_nonocc``: REAL-data V2 end-to-end run
+  (bundled cones, full 5 GC + 2 PM dual-view schedule incl. postprocess);
+- ``replica1_s_per_frame``: the DEPLOYMENT-shape program — the single-pair
+  engine under ``shard_map`` over the mesh 'data' axis (one pair per chip;
+  ``parallel/replica.py``), measured at batch=1 on this chip. The v5e-8
+  number is this value (each of 8 chips runs the same per-device program
+  on its own pair, communication-free).
+- ``v5e8_throughput_s_per_frame_est``: the deployment estimate for the
+  BASELINE v5e-8 target — replica1 when measured, else primary / 8.
 
 Env overrides: BENCH_SCALE (default 1.0) scales H/W/ndisp for quick checks;
 BENCH_ITERS / BENCH_PM_ITERS override the sweep counts; BENCH_FAST=1 skips
-the extras.
+the extras; BENCH_BUDGET_S / BENCH_STALL_S tune the watchdogs.
 """
 import json
 import os
 import sys
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+# Persistent compilation cache: keyed by (platform, jaxlib, flags), so TPU
+# and CPU runs coexist; repeat runs in this workspace deserialize instead of
+# recompiling. Must be set before jax import.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_HERE, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
 BASELINE_SECONDS = 237.0  # reference filter_raw desktop end-to-end
 CONES_DIR = "/root/reference/data/MiddV2/cones"
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+STALL_S = float(os.environ.get("BENCH_STALL_S", "900"))
+
+_last_beat = [time.time()]
+_primary_done = threading.Event()
+
+
+def beat(*_a, **_k):
+    _last_beat[0] = time.time()
+
+
+class _BeatEvaluator:
+    """Minimal evaluator shim: every per-sweep hook is a heartbeat, so the
+    watchdog can tell 'slow compile' from 'wedged device'."""
+    start = stop = beat
+
+    def evaluate(self, *a, **k):
+        beat()
+
+    def save_consistency(self, *a, **k):
+        beat()
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _fail(msg, code):
+    _emit({"metric": "midv3_halfH_sec_per_frame", "value": -1.0,
+           "unit": "s", "vs_baseline": -1.0, "error": msg,
+           "elapsed_s": round(time.time() - T0, 1)})
+    os._exit(code)
+
+
+def _watchdog():
+    while not _primary_done.is_set():
+        time.sleep(10)
+        if time.time() - _last_beat[0] > STALL_S:
+            _fail(f"device stalled: no progress for {STALL_S:.0f}s "
+                  f"(tunneled TPU wedge?)", 3)
+
+
+def _probe_device(timeout=180.0):
+    """One tiny op with a hard timeout — a wedged tunnel fails fast and
+    parseably instead of hanging the whole bench."""
+    out = {}
+
+    def work():
+        import jax
+        import jax.numpy as jnp
+        out["platform"] = jax.default_backend()
+        jnp.ones((8, 128)).sum().block_until_ready()
+        out["ok"] = True
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(timeout)
+    if not out.get("ok"):
+        _fail(f"device probe did not complete within {timeout:.0f}s", 2)
+    beat()
+
+
+def left():
+    return BUDGET_S - (time.time() - T0)
 
 
 def build_problem(scale: float, seed: int = 0):
@@ -82,24 +169,22 @@ def bench_primary(scale, iters, pm_iters):
     img, vol, h, w, nd = build_problem(scale)
     params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
 
-    def make_solver():
-        s = LocalExpansionSolver(img, img, params, max_disp=float(nd - 1),
-                                 vol0=vol, vol1=vol, seed=0)
-        s.add_layer(max(1, int(w * 0.01)), LAYER0_PROPOSERS)
-        s.add_layer(max(1, int(w * 0.03)), COARSE_PROPOSERS)
-        s.add_layer(max(1, int(w * 0.09)), COARSE_PROPOSERS)
-        return s
+    solver = LocalExpansionSolver(img, img, params, max_disp=float(nd - 1),
+                                  vol0=vol, vol1=vol, seed=0)
+    solver.add_layer(max(1, int(w * 0.01)), LAYER0_PROPOSERS)
+    solver.add_layer(max(1, int(w * 0.03)), COARSE_PROPOSERS)
+    solver.add_layer(max(1, int(w * 0.09)), COARSE_PROPOSERS)
+    solver.set_evaluator(_BeatEvaluator())
 
-    # Warmup run: populates the compilation cache for every (layer, plan)
-    # variant the timed run will hit.
-    warm = make_solver()
-    warm.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    # Warmup: 1 pm + 1 gc sweep compiles the EXACT executables of the full
+    # schedule (plans are padded to the outer_iter=0 variant and reused).
+    solver.run(iterations=1, view_modes=(0,), pm_iterations=1)
+    beat()
 
     # Timed run measures OPTIMIZATION time (init + all sweeps), matching the
     # reference's time.txt semantics (Evaluator.h timer excludes data prep);
-    # energy-data construction and host->device transfer happen in finalize().
-    solver = make_solver()
-    solver.finalize()
+    # energy-data construction and host->device transfer happened in the
+    # warmup's finalize().
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
     solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
@@ -120,18 +205,13 @@ def bench_cones():
     pair = datasets.load_data(CONES_DIR, 0)
     params = PARAMS_GF.replace(windR=20, lambda_=1.0)
 
-    def make():
-        s = LocalExpansionSolver(pair.im0, pair.im1, params,
-                                 pair.max_disparity, seed=0)
-        for i, sz in enumerate([5, 15, 25]):
-            s.add_layer(sz, LAYER0_PROPOSERS if i == 0
-                        else COARSE_PROPOSERS)
-        return s
-
-    warm = make()
-    warm.run(iterations=5, view_modes=(0, 1), pm_iterations=2)
-    solver = make()
-    solver.finalize()
+    solver = LocalExpansionSolver(pair.im0, pair.im1, params,
+                                  pair.max_disparity, seed=0)
+    for i, sz in enumerate([5, 15, 25]):
+        solver.add_layer(sz, LAYER0_PROPOSERS if i == 0 else COARSE_PROPOSERS)
+    solver.set_evaluator(_BeatEvaluator())
+    solver.run(iterations=1, view_modes=(0, 1), pm_iterations=1)  # warmup
+    beat()
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
     labeling, _ = solver.run(iterations=5, view_modes=(0, 1),
@@ -147,48 +227,45 @@ def bench_cones():
     return elapsed, bad
 
 
-def bench_batch(scale=0.5, batch=2, iters=5, pm_iters=2):
-    """Amortized throughput of a multi-pair batch on ONE chip (a v5e-8 mesh
-    runs the same executable with the 'data' axis spread over 8 chips, one
-    pair per chip). batch=2 keeps the per-pair slab budget large enough for
-    the dense hoist path; larger one-chip batches fall back to chunked
-    gathers and measure the fallback, not the deployment shape."""
+def bench_replica(scale=1.0, iters=5, pm_iters=2):
+    """The deployment-shape program: single-pair engine under shard_map over
+    the 'data' mesh axis, one pair per device, measured on this host's
+    devices (batch = n_devices). Per-pair time should match the single-pair
+    engine (the per-device program is identical); on a v5e-8 the same
+    executable spreads 8 pairs over 8 chips."""
     import jax
     from localexpstereo_tpu.config import PARAMS_GF
-    from localexpstereo_tpu.parallel import batch as batch_mod
     from localexpstereo_tpu.parallel import mesh as mesh_mod
+    from localexpstereo_tpu.parallel.replica import ReplicaSolver
 
-    probs = [build_problem(scale, seed=i) for i in range(batch)]
+    ndev = 1  # one real chip in this environment
+    probs = [build_problem(scale, seed=i) for i in range(ndev)]
     ims = np.stack([p[0] for p in probs])
     vols = np.stack([p[1] for p in probs])
-    h, w, nd = probs[0][2], probs[0][3], probs[0][4]
+    w, nd = probs[0][3], probs[0][4]
     params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
-    mesh = mesh_mod.make_mesh((1,), ("data",), jax.devices()[:1])
+    mesh = mesh_mod.make_mesh((ndev,), ("data",), jax.devices()[:ndev])
     sizes = [max(1, int(w * f)) for f in (0.01, 0.03, 0.09)]
 
-    def make():
-        return batch_mod.BatchedSolver(
-            ims, ims, params, max_disp=float(nd - 1), mesh=mesh,
-            unit_sizes=sizes, vols0=vols, vols1=vols, seed=0,
-            vol_dtype="bfloat16")
-
-    warm = make()
-    warm.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
-    solver = make()
+    solver = ReplicaSolver(ims, ims, params, max_disp=float(nd - 1),
+                           mesh=mesh, unit_sizes=sizes, vols0=vols,
+                           vols1=vols, seed=0)
+    solver.run(iterations=1, view_modes=(0,), pm_iterations=1,
+               on_sweep=beat)  # warmup
+    beat()
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
-    solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
-    elapsed = time.perf_counter() - t0
-    # Scale to halfH-equivalent frames by pixel-disparity volume.
-    work_ratio = (h * w * nd) / (992 * 1436 * 145)
-    return elapsed / batch / work_ratio
+    solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters,
+               on_sweep=beat)
+    return (time.perf_counter() - t0) / ndev
 
 
 def bench_videorate(scale=1.0, frames=4):
     """Steady-state serving mode: persistent compiled engine, cell-seeded
     warm start from the previous frame, 1 GC sweep per frame. Frame 0 (cold
     full schedule + compilation) is excluded; reports the mean of the warm
-    frames."""
+    frames. Shares the primary leg's shapes, so its sweeps hit the in-process
+    jit cache."""
     import jax.numpy as jnp
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.serving import StereoStream
@@ -204,10 +281,13 @@ def bench_videorate(scale=1.0, frames=4):
                           cold_iterations=5, cold_pm_iterations=2,
                           warm_iterations=1)
     stream.process(img, img, vol_dev, vol_dev)   # cold + compile
+    beat()
     stream.process(img, img, vol_dev, vol_dev)   # first warm (compiles warm path)
+    beat()
     times = []
     for _ in range(frames - 1):
         stream.process(img, img, vol_dev, vol_dev)
+        beat()
         times.append(stream.last_frame_seconds)
     return sum(times) / len(times)
 
@@ -218,6 +298,9 @@ def main():
     pm_iters = int(os.environ.get("BENCH_PM_ITERS", "2"))
     fast = os.environ.get("BENCH_FAST", "0") == "1"
 
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _probe_device()
+
     elapsed = bench_primary(scale, iters, pm_iters)
     out = {
         "metric": "midv3_halfH_sec_per_frame",
@@ -226,22 +309,35 @@ def main():
         "vs_baseline": round(elapsed / BASELINE_SECONDS, 5),
         "v5e8_throughput_s_per_frame_est": round(elapsed / 8.0, 3),
     }
+    # The primary metric is on stdout NOW — a later stall/timeout can no
+    # longer lose the round's number.
+    _emit(out)
+    _primary_done.set()
+
     if not fast:
-        try:
-            cones_s, cones_bad = bench_cones()
-            out["cones_doDual_s"] = round(cones_s, 3)
-            out["cones_bad05_nonocc"] = round(cones_bad, 3)
-        except Exception as e:  # extras must never sink the primary metric
-            out["cones_error"] = str(e)[:200]
-        try:
-            out["batch2_s_per_frame"] = round(bench_batch(), 3)
-        except Exception as e:
-            out["batch_error"] = str(e)[:200]
-        try:
-            out["videorate_s_per_frame"] = round(bench_videorate(), 3)
-        except Exception as e:
-            out["videorate_error"] = str(e)[:200]
-    print(json.dumps(out))
+        legs = [
+            ("videorate", lambda: {"videorate_s_per_frame":
+                                   round(bench_videorate(scale), 3)}, 120),
+            ("cones", lambda: (lambda sb: {
+                "cones_doDual_s": round(sb[0], 3),
+                "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
+            ("replica", lambda: {"replica1_s_per_frame":
+                                 round(bench_replica(scale, iters,
+                                                     pm_iters), 3)}, 300),
+        ]
+        for name, fn, min_budget in legs:
+            if left() < min_budget:
+                out[f"{name}_skipped"] = f"budget ({left():.0f}s left)"
+                continue
+            try:
+                out.update(fn())
+            except Exception as e:  # extras must never sink the primary
+                out[f"{name}_error"] = str(e)[:200]
+        if "replica1_s_per_frame" in out:
+            out["v5e8_throughput_s_per_frame_est"] = \
+                out["replica1_s_per_frame"]
+    out["elapsed_s"] = round(time.time() - T0, 1)
+    _emit(out)
 
 
 if __name__ == "__main__":

@@ -67,7 +67,7 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
-    unary_backend: str = "auto"   # "auto" (DMA kernel on TPU) | "xla"
+    unary_backend: str = "auto"   # "auto" (= xla) | "xla" | "dma" (opt-in TPU DMA kernel)
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     exi_pad: int = 0       # spatial zero padding of EnergyData.exi
     #: HBM budget for the hoisted per-color volume slabs; the batched solver

@@ -12,7 +12,14 @@ Full pipeline parity with the single-pair engine (``FastGCStereo.h:133-226``
 semantics under vmap): pair ``b`` of a batched run follows EXACTLY the same
 schedule and RNG stream as ``LocalExpansionSolver(seed=seed+b)`` — dual-view
 interleaving, per-sweep evaluation, post-processing, and checkpointing
-included — so batching is purely an amortization choice.
+included — so batching is purely an amortization choice. (Bit-parity
+requires matching ``vol_dtype`` and backend settings on both sides; the
+defaults match the single-pair engine's.)
+
+NOTE: for the one-pair-per-chip deployment shape, prefer
+``parallel.replica.ReplicaSolver`` — it runs the unchanged single-pair
+program per device under ``shard_map`` and avoids this module's vmap
+batching overhead.
 """
 from __future__ import annotations
 
@@ -55,7 +62,7 @@ class BatchedSolver:
                  vols0: Optional[np.ndarray] = None,
                  vols1: Optional[np.ndarray] = None,
                  min_disp: float = 0.0, seed: int = 0,
-                 vol_dtype: str = "float32",
+                 vol_dtype: str = "bfloat16",
                  mincut_backend: Optional[str] = None):
         assert ims0.shape == ims1.shape and ims0.ndim == 4
         self.batch = ims0.shape[0]

@@ -1,0 +1,307 @@
+"""One-pair-per-chip data parallelism via ``shard_map`` (deployment shape).
+
+The reference processes one pair per process (``demo.bat`` runs serially);
+BASELINE config 3 spreads a batch of pairs over a TPU mesh. The round-2
+``BatchedSolver`` (parallel/batch.py) ``vmap``-ped the engine over a pair
+axis, which costs ~2.2x per pair even at batch=1 (the Pallas min-cut and the
+slab hoists batch poorly). This module instead runs the UNCHANGED single-pair
+program (``models/engine.py``) inside ``jax.shard_map`` over the mesh 'data'
+axis: each device traces and executes exactly the per-pair executable —
+per-pair time equals single-pair time by construction, and the pairs are
+communication-free (no collectives are inserted; shardings only route each
+pair's tensors to its chip).
+
+Schedule/RNG parity: pair ``b`` follows EXACTLY the same schedule and RNG
+stream as ``LocalExpansionSolver(seed=seed + b)`` (cf. the reference's
+per-thread seeding, ``main.cpp:444-450``) — asserted bit-exactly by
+``tests/test_replica.py`` and ``__graft_entry__.dryrun_multichip`` case 4.
+
+Batches larger than the mesh run in waves: the batch is padded to a multiple
+of ``n_devices`` (repeating pair 0; padded results are dropped) and each
+device loops sequentially over its ``k = B_padded / n_devices`` local pairs —
+the 15-pair MiddV3 trainingH set on a v5e-8 is two waves (8 + 7).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Parameters
+from ..models import energy as energy_mod
+from ..models import engine as engine_mod
+from ..models import grid
+
+
+def _squeeze0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def _take0(tree, i):
+    return jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+        x, i, axis=0, keepdims=False), tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "unit_size", "nbx", "nby", "plan",
+                     "do_gc", "mode", "k"))
+def _replica_layer_sweep(data, labeling, cost, oxs, oys, rmasks, coxs, coys,
+                         dzs, nrs, keys_bc, step_active, *, cfg, mesh,
+                         unit_size, nbx, nby, plan, do_gc, mode, k):
+    """One layer's full color sweep for every pair: shard_map over 'data',
+    each device running the single-pair ``layer_sweep`` program on its local
+    pair(s). ``k`` = pairs per device, processed sequentially (waves)."""
+
+    def body(data_l, lab_l, cost_l, keys_l, oxs, oys, rmasks, coxs, coys,
+             dzs, nrs, step_active):
+        labs, costs = [], []
+        for i in range(k):
+            lab, cst = engine_mod.layer_sweep(
+                _take0(data_l, i), cfg, lab_l[i], cost_l[i], oxs, oys,
+                rmasks, coxs, coys, dzs, nrs, keys_l[i],
+                unit_size=unit_size, nbx=nbx, nby=nby, plan=plan,
+                do_gc=do_gc, mode=mode, step_active=step_active)
+            labs.append(lab)
+            costs.append(cst)
+        return jnp.stack(labs), jnp.stack(costs)
+
+    sharded, repl = P("data"), P()
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded,
+                  repl, repl, repl, repl, repl, repl, repl, repl),
+        out_specs=(sharded, sharded), check_vma=False)
+    return fn(data, labeling, cost, keys_bc, oxs, oys, rmasks, coxs, coys,
+              dzs, nrs, step_active)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh", "unit_size", "mode", "k"))
+def _replica_init(data, keys_b, *, cfg, mesh, unit_size, mode, k):
+    def body(data_l, keys_l):
+        labs, costs = [], []
+        for i in range(k):
+            lab, cst = engine_mod.init_step(
+                _take0(data_l, i), cfg, keys_l[i], unit_size=unit_size,
+                mode=mode)
+            labs.append(lab)
+            costs.append(cst)
+        return jnp.stack(labs), jnp.stack(costs)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(P("data"), P("data")),
+                       out_specs=(P("data"), P("data")), check_vma=False)
+    return fn(data, keys_b)
+
+
+class ReplicaSolver:
+    """Local-expansion stereo over a batch of same-sized pairs, one pair per
+    chip (the BASELINE config-3 deployment program).
+
+    API mirrors ``parallel.batch.BatchedSolver``; results for pair ``b`` are
+    bit-identical to ``LocalExpansionSolver(seed=seed + b)`` (same dtype and
+    backend settings).
+    """
+
+    def __init__(self, ims0: np.ndarray, ims1: np.ndarray,
+                 params: Parameters, max_disp: float, mesh: Mesh,
+                 unit_sizes: Sequence[int],
+                 layer_proposers: Optional[List] = None,
+                 vols0: Optional[np.ndarray] = None,
+                 vols1: Optional[np.ndarray] = None,
+                 min_disp: float = 0.0, seed: int = 0,
+                 vol_dtype: str = "bfloat16",
+                 mincut_backend: Optional[str] = None,
+                 unary_backend: Optional[str] = None):
+        assert ims0.shape == ims1.shape and ims0.ndim == 4
+        self.batch = ims0.shape[0]
+        self.mesh = mesh
+        self.ndev = int(np.prod(mesh.devices.shape))
+        self.k = -(-self.batch // self.ndev)          # pairs per device
+        self.padded = self.k * self.ndev
+        self.params = params
+        self.min_disp = float(min_disp)
+        self.max_disp = float(max_disp)
+        self.seed = seed
+        self.ims0 = np.asarray(ims0, np.float32)
+        self.ims1 = np.asarray(ims1, np.float32)
+        self.unit_sizes = list(unit_sizes)
+        self.layer_proposers = (layer_proposers or
+                                [engine_mod.LAYER0_PROPOSERS]
+                                + [engine_mod.COARSE_PROPOSERS]
+                                * (len(unit_sizes) - 1))
+        self.evaluators: Optional[List] = None
+
+        h, w = ims0.shape[1:3]
+        pad = grid.required_padding(self.unit_sizes, params.windR)
+        self.layers = grid.build_layers(w, h, self.unit_sizes)
+        vol_pad = grid.required_volume_padding(
+            w, h, self.unit_sizes, params.guided_radius)
+
+        import dataclasses
+        datas = []
+        for b in range(self.padded):
+            src = b if b < self.batch else 0          # wave padding
+            data, cfg = energy_mod.build_energy(
+                ims0[src], ims1[src], params, max_disp, pad, min_disp,
+                vol0=None if vols0 is None else vols0[src],
+                vol1=None if vols1 is None else vols1[src], vol_pad=vol_pad,
+                vol_dtype=vol_dtype)
+            datas.append(data)
+        if mincut_backend is not None:
+            cfg = dataclasses.replace(cfg, mincut_backend=mincut_backend)
+        if unary_backend is not None:
+            cfg = dataclasses.replace(cfg, unary_backend=unary_backend)
+        # One pair resident per device at a time: the single-pair slab
+        # budget applies unchanged (unlike the vmapped BatchedSolver).
+        self.cfg = cfg
+        shard = NamedSharding(mesh, P("data"))
+        self.data = jax.tree.map(
+            lambda *xs: jax.device_put(jnp.stack(xs), shard), *datas)
+
+    # ------------------------------------------------------------------ --
+
+    def set_evaluators(self, evaluators: List):
+        assert len(evaluators) == self.batch
+        self.evaluators = evaluators
+
+    def _pair_roots(self) -> jax.Array:
+        return jax.vmap(lambda b: jax.random.PRNGKey(self.seed + b))(
+            jnp.arange(self.padded))
+
+    def init(self, mode: int = 0):
+        keys = jax.vmap(
+            lambda r: jax.random.fold_in(r, 1000 + mode))(self._pair_roots())
+        keys = jax.device_put(keys, NamedSharding(self.mesh, P("data")))
+        return _replica_init(self.data, keys, cfg=self.cfg, mesh=self.mesh,
+                             unit_size=self.layers[0].unit_size, mode=mode,
+                             k=self.k)
+
+    def _sweep(self, state, mode: int, outer_iter: int, do_gc: bool,
+               keys_b: jax.Array):
+        labeling, cost = state
+        for li, layer in enumerate(self.layers):
+            plan, active, (oxs, oys, rmasks, coxs, coys, dzs, nrs, _) = \
+                engine_mod.LocalExpansionSolver._layer_inputs(
+                    self, li, layer, outer_iter, jax.random.PRNGKey(0))
+            ncol = len(layer.colors)
+            kc = jax.vmap(lambda kb: jax.vmap(
+                lambda ci: jax.random.fold_in(kb, li * 100 + ci))(
+                    jnp.arange(ncol)))(keys_b)                   # [B, C]
+            labeling, cost = _replica_layer_sweep(
+                self.data, labeling, cost, oxs, oys, rmasks, coxs, coys,
+                dzs, nrs, kc, active, cfg=self.cfg, mesh=self.mesh,
+                unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
+                plan=plan, do_gc=do_gc, mode=mode, k=self.k)
+        return labeling, cost
+
+    def sweep(self, state, outer_iter: int, do_gc: bool, mode: int = 0,
+              key: Optional[jax.Array] = None):
+        key = key if key is not None else jax.random.PRNGKey(
+            self.seed + 17 * (outer_iter + 1))
+        keys_b = jax.random.split(key, self.padded)
+        return self._sweep(state, mode, outer_iter, do_gc, keys_b)
+
+    # --------------------------------------------------------------- run --
+
+    def run(self, iterations: int, view_modes: Sequence[int] = (0,),
+            pm_iterations: int = 0, on_sweep=None):
+        """Full optimization mirroring ``LocalExpansionSolver.run`` per pair:
+        greedy init, pm sweeps, GC sweeps with views interleaved, dual-view
+        post-processing. Returns (final, raw): [B, H, W, 4] left labelings.
+
+        ``on_sweep``: optional zero-arg callback fired after each completed
+        sweep dispatch (progress heartbeat for benchmarking/drivers)."""
+        roots = self._pair_roots()
+        state: Dict[int, Tuple] = {}
+        for mode in view_modes:
+            state[mode] = self.init(mode)
+            self._evaluate(state, mode, index=0)
+        for ev in (self.evaluators or []):
+            if ev is not None:
+                ev.start()
+
+        step = 0
+        for it in range(pm_iterations):
+            for mode in view_modes:
+                keys_b = jax.vmap(lambda r: jax.random.fold_in(
+                    r, 2000 + step))(roots)
+                step += 1
+                state[mode] = self._sweep(state[mode], mode, it, False,
+                                          keys_b)
+                if on_sweep is not None:
+                    jax.block_until_ready(state[mode][1])
+                    on_sweep()
+                self._evaluate(state, mode, index=it + 1)
+
+        for it in range(iterations):
+            for mode in view_modes:
+                keys_b = jax.vmap(lambda r: jax.random.fold_in(
+                    r, 3000 + step))(roots)
+                step += 1
+                state[mode] = self._sweep(state[mode], mode, it, True,
+                                          keys_b)
+                if on_sweep is not None:
+                    jax.block_until_ready(state[mode][1])
+                    on_sweep()
+                self._evaluate(state, mode, index=it + 1 + pm_iterations)
+
+        p = self.cfg.pad
+        h, w = self.cfg.height, self.cfg.width
+        raw = np.asarray(state[0][0][:self.batch, p:p + h, p:p + w])
+        if len(view_modes) == 2:
+            from ..models import postprocess
+            final = np.empty_like(raw)
+            lab_r_all = np.asarray(
+                state[1][0][:self.batch, p:p + h, p:p + w])
+            for b in range(self.batch):
+                lab_l, lab_r = postprocess.post_process(
+                    jnp.asarray(raw[b]), jnp.asarray(lab_r_all[b]),
+                    self.ims0[b], self.ims1[b], self.params, threshold=1.5)
+                final[b] = np.asarray(lab_l)
+            self._evaluate(state, 0, index=iterations + 1 + pm_iterations)
+        else:
+            final = raw
+        for ev in (self.evaluators or []):
+            if ev is not None:
+                ev.stop()
+        self._state = state
+        return final, raw
+
+    # ------------------------------------------------------------ metrics --
+
+    def _evaluate(self, state, mode: int, index: int):
+        if not self.evaluators:
+            return
+        from .batch import _PairFacade
+        labeling, cost = state[mode]
+        light = self.data._replace(
+            vol=None, exi=None, guide=None, gf_mean=None, gf_inv=None,
+            gf_stack=None)
+        for b, ev in enumerate(self.evaluators):
+            if ev is None:
+                continue
+            pair_data = jax.tree.map(lambda x: x[b], light)
+            ev.evaluate(_PairFacade(pair_data, self.cfg), labeling[b],
+                        cost[b], mode=mode, index=index)
+
+    def energies(self, state, mode: int = 0):
+        """Per-pair (total, data, smooth) energies + the batch mean total."""
+        labeling, cost = state
+        fn = jax.vmap(functools.partial(engine_mod.energy_audit,
+                                        cfg=self.cfg, mode=mode))
+        tot, dc, sc = fn(self.data, labeling_m=labeling, cost_m=cost)
+        tot, dc, sc = tot[:self.batch], dc[:self.batch], sc[:self.batch]
+        return (tot, dc, sc), jnp.mean(tot)
+
+    def disparities(self, state=None):
+        labeling, _ = state if state is not None else self._state[0]
+        p = self.cfg.pad
+        lab = labeling[:self.batch, p:p + self.cfg.height,
+                       p:p + self.cfg.width]
+        from ..ops import plane as plane_ops
+        return jax.vmap(plane_ops.disparity_map)(lab)

@@ -22,7 +22,19 @@ from . import acrt, datasets
 def _load_volumes(target_dir: str, ndisp: int, h: int, w: int):
     p0 = os.path.join(target_dir, "im0.acrt")
     p1 = os.path.join(target_dir, "im1.acrt")
+    if not os.path.exists(p0):
+        raise FileNotFoundError(p0)
+    # Probe the native loader's availability SEPARATELY from reading the
+    # data file: its on-demand build can fail with FileNotFoundError
+    # (missing g++) or CalledProcessError (compile error), neither of which
+    # means the .acrt is unreadable — fall back to the numpy codec then.
+    lib = None
     try:
+        from .. import native
+        lib = native.get_lib()
+    except Exception:
+        lib = None
+    if lib is not None:
         from .. import native
         vol_l = native.read_acrt_fill(p0, ndisp, h, w, fill_mode=0)
         if os.path.exists(p1):
@@ -30,16 +42,13 @@ def _load_volumes(target_dir: str, ndisp: int, h: int, w: int):
         else:
             vol_r = native.convert_l2r_fill(vol_l)
         return vol_l, vol_r
-    except FileNotFoundError:
-        raise
-    except OSError:
-        vol_l = acrt.fill_out_of_view(
-            acrt.read_acrt(p0, ndisp, h, w), 0)
-        if os.path.exists(p1):
-            vol_r = acrt.read_acrt(p1, ndisp, h, w)
-        else:
-            vol_r = acrt.convert_volume_l2r(vol_l)
-        return vol_l, acrt.fill_out_of_view(vol_r, 1)
+    vol_l = acrt.fill_out_of_view(
+        acrt.read_acrt(p0, ndisp, h, w), 0)
+    if os.path.exists(p1):
+        vol_r = acrt.read_acrt(p1, ndisp, h, w)
+    else:
+        vol_r = acrt.convert_volume_l2r(vol_l)
+    return vol_l, acrt.fill_out_of_view(vol_r, 1)
 
 
 class PairPrefetcher:
