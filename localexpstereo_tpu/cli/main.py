@@ -61,6 +61,10 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     ap.add_argument("--threadNum", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--volume", default="acrt", choices=["acrt", "mccnn"])
+    # -warmup 1 (default) precompiles the schedule's executables before the
+    # evaluator's timer starts, so time.txt is pure optimization time like
+    # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.
+    ap.add_argument("--warmup", type=int, default=1)
     ns = ap.parse_args(norm)
 
     return Options(
@@ -69,7 +73,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         do_dual=bool(ns.doDual), ndisp=ns.ndisp,
         smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
-        seed=ns.seed, volume=ns.volume)
+        seed=ns.seed, volume=ns.volume, warmup=ns.warmup)
 
 
 def print_options(opt: Options):
@@ -114,9 +118,13 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
                    header="result", save_dir=debug_dir)
     ev.set_precision(gt_precision)
     ev.set_error_threshold(error_thresh)
-    solver.set_evaluator(ev)
 
     modes = (0, 1) if opt.do_dual else (0,)
+    if opt.warmup:
+        solver.precompile(view_modes=modes,
+                          pm_iterations=opt.pm_iterations,
+                          iterations=opt.iterations)
+    solver.set_evaluator(ev)
     labeling, raw = solver.run(opt.iterations, modes, opt.pm_iterations)
 
     from ..ops import plane as plane_ops

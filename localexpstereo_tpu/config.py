@@ -81,6 +81,8 @@ class Options:
     thread_num: int = -1  # accepted for CLI parity; no-op on TPU
     seed: int = 0
     volume: str = "acrt"  # V3 volume source: "acrt" file or "mccnn" on-device
+    warmup: int = 1  # precompile executables before the timed run (time.txt
+                     # then measures pure optimization, TimeStamper semantics)
 
     def resolve_smooth_weight(self) -> float:
         """Mode presets (``main.cpp:37-40``): MiddV2 -> 1.0, MiddV3 -> 0.5,

@@ -68,6 +68,15 @@ class EnergyConfig:
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
     unary_backend: str = "auto"   # "auto" (= xla) | "xla" | "dma" (opt-in TPU DMA kernel)
+    #: V3 slab/GF window layout. "auto" (= "rm") keeps region-major
+    #: [N, D, F, F]; "rl" opts into region-on-lanes [D, F, F, N]. The rl
+    #: layout was built on the lane-waste hypothesis (F = 62 pads to 128
+    #: lanes) but A/B measures ~2% SLOWER on v5e at the fine layer
+    #: (tools/ab_rl.py: 1019 vs 1039 ms greedy, 1519 vs 1545 ms GC) — XLA's
+    #: own tiling already handles the trailing [F, F] dims well, and the
+    #: extra transposes eat the savings. Kept oracle-tested
+    #: (tests/test_unary_rl.py) like the rejected block layout.
+    unary_layout: str = "auto"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     exi_pad: int = 0       # spatial zero padding of EnergyData.exi
     #: HBM budget for the hoisted per-color volume slabs; the batched solver
@@ -442,6 +451,94 @@ def unary_windows_block(data: EnergyData, cfg: EnergyConfig, mode: int,
     xsg = tox[:, None, None] + ixg[None]
     tmask = ((xsg >= 0) & (xsg < cfg.width) & (ysg >= 0)
              & (ysg < cfg.height)).astype(jnp.float32)
+    q = jnp.where(valid, q, COST_FOR_INVALID)
+    return q * tmask
+
+
+def dense_filter_windows_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
+                            ox: jnp.ndarray, oy: jnp.ndarray, coy, cox,
+                            s: int, nby: int, nbx: int, target_off: int,
+                            target_size: int):
+    """:func:`dense_filter_windows` in REGION-ON-LANES layout: guide/mean
+    [3, F, F, N], inv [6, F, F, N], mask [F, F, N]."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    foff = target_off - r
+    oy0 = coy + (s + foff + cfg.pad)
+    ox0 = cox + (s + foff + cfg.pad)
+    t = 4 * s
+
+    def rl(arr_hwc):
+        return windows.dense_windows_rl_leading(
+            jnp.moveaxis(arr_hwc, -1, 0), oy0, ox0, nby, nbx, t, fsize)
+
+    gwin = rl(data.guide[mode])
+    mwin = rl(data.gf_mean[mode])
+    iwin = rl(data.gf_inv[mode])
+    fmask = in_image_windows_rl(cfg, ox, oy, foff, fsize)
+    return gwin, mwin, iwin, fmask
+
+
+def in_image_windows_rl(cfg: EnergyConfig, ox: jnp.ndarray, oy: jnp.ndarray,
+                        off: int, size: int) -> jnp.ndarray:
+    """[size, size, N] float32 in-image mask (rl layout)."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (size, size, 1), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (size, size, 1), 1)
+    ys = oy[None, None, :] + off + iy
+    xs = ox[None, None, :] + off + ix
+    inside = ((xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height))
+    return inside.astype(jnp.float32)
+
+
+def dense_volume_slabs_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
+                          coy, cox, s: int, nby: int, nbx: int,
+                          target_off: int, target_size: int,
+                          vol_row_base=None):
+    """:func:`dense_volume_slabs` in REGION-ON-LANES layout [D, F, F, N]."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    if vol_row_base is None:
+        vol_row_base = cfg.vol_pad
+    oy0 = coy + (s + target_off - r) + vol_row_base
+    ox0 = cox + (s + target_off - r + cfg.vol_pad)
+    return windows.dense_windows_rl_leading(data.vol[mode], oy0, ox0,
+                                            nby, nbx, 4 * s, fsize)
+
+
+def unary_windows_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
+                     proposals: jnp.ndarray, ox: jnp.ndarray,
+                     oy: jnp.ndarray, target_off: int, target_size: int,
+                     stat_windows_rl, vol_slabs_rl) -> jnp.ndarray:
+    """Region-on-lanes fast path of :func:`unary_windows` (V3 linear term).
+
+    The whole hot pipeline — tent-weight slab reduction and guided filtering
+    — runs with the region index on the 128 vector lanes; only the final
+    [N, S, S] cost transposes back to region-major order (a few MB vs the
+    hundreds-of-MB slabs). Semantics identical to :func:`unary_windows`
+    (same within-window reduction orders; cross-checked by
+    ``tests/test_unary_rl.py``).
+    """
+    r = cfg.params.guided_radius
+    foff = target_off - r
+    fox = ox + foff
+    foy = oy + foff
+
+    raw = unary_volume.sample_slabs_rl(
+        vol_slabs_rl, proposals, fox, foy, cfg.height, cfg.width,
+        min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+    if cfg.params.filter_name in ("GF", "GFfloat"):
+        gwin, mwin, iwin, fmask = stat_windows_rl
+        q = guided.filter_windows_rl(raw, gwin, mwin, iwin, fmask, r)
+    else:
+        q = raw
+    q = q[r:r + target_size, r:r + target_size]
+    q = jnp.moveaxis(q, -1, 0)                    # [N, S, S]
+
+    tox = ox + target_off
+    toy = oy + target_off
+    valid = validity.valid_windows(proposals, tox, toy, target_size,
+                                   cfg.min_disp, cfg.max_disp)
+    tmask = in_image_windows(cfg, ox, oy, target_off, target_size)
     q = jnp.where(valid, q, COST_FOR_INVALID)
     return q * tmask
 

@@ -185,9 +185,32 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             slab_bytes += 2 * 12 * fr * fc * 4
         use_vol_dma = slab_bytes <= 80 * 1024 * 1024
         fused_gf = fused_gf and use_vol_dma
+    # Region-on-lanes layout for the V3 slab+GF pipeline ([D, F, F, N]
+    # windows, region index on the 128 vector lanes — the fused min-cut
+    # kernel's trick). OPT-IN ("rl"), not the default: the A/B on v5e
+    # (tools/ab_rl.py, fine layer s=14/N=468) measures it ~2% slower than
+    # region-major — XLA already tiles the trailing [F, F] dims well and
+    # the layout transposes cost more than the lane fill saves.
+    use_rl = (cfg.kind == "volume" and cfg.interp == 1 and not use_block
+              and not use_vol_dma
+              and cfg.params.filter_name in ("GF", "GFfloat", "")
+              and cfg.unary_layout == "rl")
+    if use_rl and not local:
+        use_rl = energy_mod.volume_slab_bytes(
+            data, ox_u.shape[0], ss,
+            cfg.params.guided_radius) <= cfg.slab_budget
     stat_windows = vol_slabs = exi_slabs = None
+    stat_windows_rl = vol_slabs_rl = None
     stat_blocks = slab_block = None
-    if use_block:
+    if use_rl:
+        if cfg.params.filter_name:
+            stat_windows_rl = energy_mod.dense_filter_windows_rl(
+                data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx,
+                -s, ss)
+        vol_slabs_rl = energy_mod.dense_volume_slabs_rl(
+            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
+            vol_row_base=vol_row_base)
+    elif use_block:
         if cfg.params.filter_name:
             stat_blocks = energy_mod.dense_filter_windows_block(
                 data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss)
@@ -198,7 +221,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
     if (cfg.kind == "volume" and cfg.interp == 1 and not use_block
-            and not use_vol_dma):
+            and not use_vol_dma and not use_rl):
         n_regions = ox_u.shape[0]
         if local or energy_mod.volume_slab_bytes(
                 data, n_regions, ss,
@@ -238,7 +261,11 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         if local:
             props = _slice_rows(props, m_start, nby, nbx, nby_loc)
 
-        if use_block:
+        if use_rl:
+            pcost = energy_mod.unary_windows_rl(
+                data, cfg, mode, props, ox_u, oy_u, -s, ss,
+                stat_windows_rl, vol_slabs_rl)
+        elif use_block:
             pcost = energy_mod.unary_windows_block(
                 data, cfg, mode, props, coy_u, cox, s, nby_u, nbx, -s, ss,
                 stat_blocks, slab_block)
@@ -523,7 +550,7 @@ class LocalExpansionSolver:
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
                  interp: int = 1, vol_dtype: str = "bfloat16",
-                 stats_backend: str = "host"):
+                 stats_backend: str = "host", unary_layout: str = "auto"):
         self.im0 = np.asarray(im0_bgr, np.float32)
         self.im1 = np.asarray(im1_bgr, np.float32)
         self.params = params
@@ -535,6 +562,7 @@ class LocalExpansionSolver:
         self.interp = interp
         self.vol_dtype = vol_dtype
         self.stats_backend = stats_backend
+        self.unary_layout = unary_layout
         self.seed = seed
         self.unit_sizes: List[int] = []
         self.layer_proposers: List[Tuple[str, ...]] = []
@@ -565,6 +593,10 @@ class LocalExpansionSolver:
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             stats_backend=self.stats_backend)
+        if self.unary_layout != "auto":
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg,
+                                           unary_layout=self.unary_layout)
 
     # ------------------------------------------------------------- sweeps --
 
@@ -627,6 +659,23 @@ class LocalExpansionSolver:
                 unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
                 plan=plan, do_gc=do_gc, mode=mode, step_active=active)
         return labeling_m, cost_m
+
+    def precompile(self, view_modes: Sequence[int] = (0, 1),
+                   pm_iterations: int = 1, iterations: int = 1):
+        """Compiles every executable a following :meth:`run` with the same
+        schedule shape will dispatch — init, greedy and GC layer sweeps (the
+        proposal plans are padded to the outer_iter=0 variant, so ONE sweep
+        of each kind covers all outer iterations) and the dual-view
+        post-process — by running a throwaway 1+1-sweep solve without the
+        evaluator. Restores the reference's timing contract: ``time.txt``
+        measures pure optimization (``TimeStamper.h``,
+        ``Evaluator.h:113-116``), not XLA compilation of cold shapes."""
+        ev, self.evaluator = self.evaluator, None
+        try:
+            self.run(iterations=min(iterations, 1), view_modes=view_modes,
+                     pm_iterations=min(pm_iterations, 1))
+        finally:
+            self.evaluator = ev
 
     # --------------------------------------------------------------- run --
 

@@ -110,6 +110,23 @@ def dense_windows_block_leading(arr: jnp.ndarray, oy0, ox0, nby: int,
     return x
 
 
+def dense_windows_rl_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
+                             t: int, f: int) -> jnp.ndarray:
+    """[C, Hp, Wp] -> [C, F, F, nby*nbx] REGION-ON-LANES windows.
+
+    Same windows as :func:`dense_windows_leading` but with the region index
+    LAST so it rides the 128-wide vector lanes: at the fine layer
+    (F = 62, N = 468) the region-major [N, F, F] layout pads F -> 128 lanes
+    and wastes >2x of every vreg / HBM transfer, while [F, F, N] fills them
+    (the same trick as the fused min-cut kernel's rl layout,
+    ops/mincut_pallas.py). Region (m, k) is ``out[..., m * nbx + k]``.
+    """
+    c = arr.shape[0]
+    x = dense_windows_block_leading(arr, oy0, ox0, nby, nbx, t, f)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3))        # [C, F, F, nby, nbx]
+    return x.reshape((c, f, f, nby * nbx))
+
+
 def block_to_regions(x: jnp.ndarray) -> jnp.ndarray:
     """[nby, F, nbx, F, ...] block windows -> region-major [N, F, F, ...]."""
     nby, f, nbx, f2 = x.shape[:4]

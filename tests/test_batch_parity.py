@@ -36,7 +36,8 @@ def test_batched_matches_single_pair_dual_view(tmp_path):
 
     bs = batch_mod.BatchedSolver(
         ims0, ims1, params, max_disp=float(nd - 1), mesh=mesh,
-        unit_sizes=[3, 5], vols0=vols, vols1=vols, seed=seed)
+        unit_sizes=[3, 5], vols0=vols, vols1=vols, seed=seed,
+        vol_dtype="float32")
     final_b, raw_b = bs.run(iterations=1, view_modes=(0, 1),
                             pm_iterations=1)
 
