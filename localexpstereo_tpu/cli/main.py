@@ -61,6 +61,14 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     ap.add_argument("--threadNum", type=int, default=-1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--volume", default="acrt", choices=["acrt", "mccnn"])
+    # Cost-volume storage on device. uint8 (default) quantizes to 256
+    # levels over [0, 2*mc_threshold] — costs are truncated at tau after
+    # interpolation (CostVolumeEnergy.h:98), the decode is exact through
+    # the tent contraction, and the measured full-schedule effect on the
+    # halfH benchmark is -17% s/frame (slab HBM traffic halves vs bf16);
+    # deviation bound tau/255 per sample (tests/test_uint8_volume.py).
+    ap.add_argument("--volPrecision", default="uint8",
+                    choices=["uint8", "bfloat16", "float32"])
     # -warmup 1 (default) precompiles the schedule's executables before the
     # evaluator's timer starts, so time.txt is pure optimization time like
     # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.
@@ -73,7 +81,8 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         do_dual=bool(ns.doDual), ndisp=ns.ndisp,
         smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
-        seed=ns.seed, volume=ns.volume, warmup=ns.warmup)
+        seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
+        vol_precision=ns.volPrecision)
 
 
 def print_options(opt: Options):
@@ -97,7 +106,8 @@ def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
         params = params.replace(th_col=opt.mc_threshold)
         solver = LocalExpansionSolver(
             pair.im0, pair.im1, params, pair.max_disparity,
-            vol0=vols[0], vol1=vols[1], seed=opt.seed)
+            vol0=vols[0], vol1=vols[1], seed=opt.seed,
+            vol_dtype=opt.vol_precision)
     else:
         solver = LocalExpansionSolver(pair.im0, pair.im1, params,
                                       pair.max_disparity, seed=opt.seed)

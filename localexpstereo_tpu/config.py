@@ -81,6 +81,10 @@ class Options:
     thread_num: int = -1  # accepted for CLI parity; no-op on TPU
     seed: int = 0
     volume: str = "acrt"  # V3 volume source: "acrt" file or "mccnn" on-device
+    #: V3 on-device volume storage; "uint8" (default) = 256-level
+    #: quantization over [0, 2*mc_threshold], -17% s/frame vs bf16 on the
+    #: halfH bench with a tau/255 per-sample bound (-volPrecision).
+    vol_precision: str = "uint8"
     warmup: int = 1  # precompile executables before the timed run (time.txt
                      # then measures pure optimization, TimeStamper semantics)
 

@@ -78,6 +78,12 @@ class EnergyConfig:
     #: (tests/test_unary_rl.py) like the rejected block layout.
     unary_layout: str = "auto"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
+    #: Dequantization of a uint8-stored cost volume (vol_dtype="uint8"):
+    #: cost_f32 = q * vol_scale + vol_zero. 1.0/0.0 = unquantized storage.
+    #: Static floats on the config so XLA constant-folds the decode into
+    #: the tent contraction (no extra HBM traffic).
+    vol_scale: float = 1.0
+    vol_zero: float = 0.0
     exi_pad: int = 0       # spatial zero padding of EnergyData.exi
     #: HBM budget for the hoisted per-color volume slabs; the batched solver
     #: divides this by the vmapped pair count (the hoist materializes once
@@ -149,8 +155,18 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         # (the unary's dominant traffic); sampling/aggregation stay f32. The
         # cast happens HERE, once, so sharded placements slice the exact
         # same bytes (bit-parity between sharded and single-device engines).
-        vol_host = np.pad(np.stack([vol0, vol1]).astype(
-            jnp.dtype(vol_dtype)), ((0, 0), (0, 0), (vp, vp), (vp, vp)))
+        # "uint8" quantizes to 256 levels over [vol_zero, 2*th_col] —
+        # costs are truncated at th_col after interpolation anyway
+        # (CostVolumeEnergy.h:98), so only values below tau and their
+        # immediate interpolation partners matter; the 2*tau headroom keeps
+        # basin-wall interpolation faithful (see _quantize_vol).
+        vol_scale, vol_zero = 1.0, 0.0
+        if vol_dtype == "uint8":
+            stacked, vol_scale, vol_zero = _quantize_vol(
+                np.stack([vol0, vol1]), params.th_col)
+        else:
+            stacked = np.stack([vol0, vol1]).astype(jnp.dtype(vol_dtype))
+        vol_host = np.pad(stacked, ((0, 0), (0, 0), (vp, vp), (vp, vp)))
         if vol_transform is None:
             # Trailing alignment padding for the DMA sampler
             # (ops/unary_pallas.py): HBM slice starts/shapes must align to
@@ -198,8 +214,29 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                        min_disp=min_disp, max_disp=max_disp,
                        max_vdisp=max_vdisp, interp=interp,
                        vol_pad=int(vol_pad) if kind == "volume" else 0,
-                       exi_pad=exi_pad)
+                       exi_pad=exi_pad,
+                       vol_scale=vol_scale if kind == "volume" else 1.0,
+                       vol_zero=vol_zero if kind == "volume" else 0.0)
     return data, cfg
+
+
+def _quantize_vol(stacked: np.ndarray, th_col: float):
+    """uint8 linear quantization of a cost-volume pair.
+
+    Range [zero, 2*th_col]: values are truncated at tau = th_col after
+    d-interpolation (``CostVolumeEnergy.h:98``), so exact representation
+    above tau only matters through interpolation with a sub-tau neighbor —
+    one tau of headroom bounds that error by the quantization step while
+    keeping 128+ levels below tau. zero = min(0, volume min) handles
+    volumes with negative costs (quantized padding then decodes to `zero`,
+    which stays don't-care behind the in-image masks). Deviation from the
+    f32 reference is bounded by scale/2 ~= th_col/255 per sample; the V2/V3
+    parity pins gate the end-to-end effect (PARITY.md)."""
+    zero = float(min(0.0, np.nanmin(stacked)))
+    hi = max(2.0 * float(th_col), zero + 1e-6)
+    scale = (hi - zero) / 255.0
+    q = np.rint((np.clip(stacked, zero, hi) - zero) / scale)
+    return q.astype(np.uint8), scale, zero
 
 
 def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
@@ -235,6 +272,7 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
 
     exi = vol = gf_stack = None
     exi_pad = 0
+    vol_scale = 1.0
     if kind == "naive":
         exi_pad = int(vol_pad) + int(np.ceil(max_disp)) + 1
         ep = exi_pad
@@ -244,8 +282,17 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
             ((0, 0), (ep, ep), (ep, ep), (0, 0)))
     else:
         vp = int(vol_pad)
-        vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
-            jnp.dtype(vol_dtype))
+        if vol_dtype == "uint8":
+            # Static quantization range from tau only (no data-dependent
+            # min: the serving path rebuilds per frame under jit, and
+            # device volumes from the MC-CNN are non-negative).
+            vol_scale = 2.0 * float(params.th_col) / 255.0
+            vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)])
+            vol = jnp.clip(jnp.rint(vol / vol_scale), 0, 255).astype(
+                jnp.uint8)
+        else:
+            vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
+                jnp.dtype(vol_dtype))
         hv0, wv0 = h + 2 * vp, w + 2 * vp
         vol = jnp.pad(vol, ((0, 0), (0, 0),
                             (vp, vp + (-hv0) % 8 + 8),
@@ -264,7 +311,7 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
                        min_disp=min_disp, max_disp=max_disp,
                        max_vdisp=max_vdisp, interp=interp,
                        vol_pad=int(vol_pad) if kind == "volume" else 0,
-                       exi_pad=exi_pad)
+                       exi_pad=exi_pad, vol_scale=vol_scale)
     return data, cfg
 
 
@@ -429,7 +476,8 @@ def unary_windows_block(data: EnergyData, cfg: EnergyConfig, mode: int,
 
     raw = unary_volume.sample_slabs_block(
         slab_block, proposals, coy + s + foff, cox + s + foff, 4 * s,
-        nby, nbx, min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+        nby, nbx, min_disp=cfg.min_disp, th_col=cfg.params.th_col,
+        scale=cfg.vol_scale, zero=cfg.vol_zero)
     if stat_blocks is not None:
         gwin, mwin, iwin, fmask = stat_blocks
         q = guided.filter_windows_block(raw, gwin, mwin, iwin, fmask, r)
@@ -525,7 +573,8 @@ def unary_windows_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
 
     raw = unary_volume.sample_slabs_rl(
         vol_slabs_rl, proposals, fox, foy, cfg.height, cfg.width,
-        min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+        min_disp=cfg.min_disp, th_col=cfg.params.th_col,
+        scale=cfg.vol_scale, zero=cfg.vol_zero)
     if cfg.params.filter_name in ("GF", "GFfloat"):
         gwin, mwin, iwin, fmask = stat_windows_rl
         q = guided.filter_windows_rl(raw, gwin, mwin, iwin, fmask, r)
@@ -660,7 +709,8 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
         elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
-                min_disp=cfg.min_disp, th_col=cfg.params.th_col)
+                min_disp=cfg.min_disp, th_col=cfg.params.th_col,
+                scale=cfg.vol_scale, zero=cfg.vol_zero)
         else:
             vp = cfg.vol_pad
             vol_un = (data.vol[mode] if vp == 0 else
@@ -673,12 +723,13 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 raw = unary_volume.sample_windows_slab(
                     vol_un, proposals, fox, foy, fsize,
                     cfg.min_disp, cfg.max_disp, cfg.params.th_col,
-                    budget_bytes=cfg.slab_budget)
+                    budget_bytes=cfg.slab_budget,
+                    scale=cfg.vol_scale, zero=cfg.vol_zero)
             else:
                 raw = unary_volume.sample_windows(
                     vol_un, proposals, fox, foy, fsize,
                     cfg.min_disp, cfg.max_disp, cfg.params.th_col,
-                    cfg.interp)
+                    cfg.interp, scale=cfg.vol_scale, zero=cfg.vol_zero)
     elif exi_slabs is not None:
         f_self, f_other = exi_slabs
         raw = unary_warp.sample_exi_slabs_aligned(

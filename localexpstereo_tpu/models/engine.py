@@ -170,6 +170,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # row) is the way to make it win; until then "auto" = XLA.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
                    and cfg.unary_backend == "dma"
+                   and jnp.dtype(data.vol.dtype) != jnp.uint8
                    and jax.default_backend() == "tpu")
     fused_gf = False
     if use_vol_dma:

@@ -28,11 +28,24 @@ import numpy as np
 from ..config import COST_FOR_INVALID
 
 
+def _decode(cost: jnp.ndarray, scale: float, zero: float) -> jnp.ndarray:
+    """Dequantizes contracted costs from a quantized volume (uint8 storage,
+    ``EnergyConfig.vol_scale/vol_zero``). The tent/linear contraction is
+    linear in the slab values and the tent weights sum to 1, so decoding
+    AFTER the reduction is exact: ``sum(tent*(q*s+z)) == s*sum(tent*q)+z``.
+    Static no-op (identity graph) for unquantized volumes."""
+    if scale == 1.0 and zero == 0.0:
+        return cost
+    return cost * scale + zero
+
+
 def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
                         ox: jnp.ndarray, oy: jnp.ndarray, size: int,
                         min_disp: float, max_disp: float,
                         th_col: float,
-                        budget_bytes: int = 2 << 30) -> jnp.ndarray:
+                        budget_bytes: int = 2 << 30,
+                        scale: float = 1.0,
+                        zero: float = 0.0) -> jnp.ndarray:
     """Linear-interpolation sampling via per-region volume slabs (fast path).
 
     Per-pixel gathers are index-rate-bound on TPU (~100x slower than
@@ -65,12 +78,13 @@ def sample_windows_slab(vol: jnp.ndarray, proposals: jnp.ndarray,
 
         out = jax.lax.map(
             lambda args: _slab_chunk(vol, *args, size=size,
-                                     min_disp=min_disp, th_col=th_col),
+                                     min_disp=min_disp, th_col=th_col,
+                                     scale=scale, zero=zero),
             (padv(proposals).reshape(-1, chunk, 4),
              padv(ox).reshape(-1, chunk), padv(oy).reshape(-1, chunk)))
         return out.reshape(n_pad, size, size)[:n]
     return _slab_chunk(vol, proposals, ox, oy, size=size, min_disp=min_disp,
-                       th_col=th_col)
+                       th_col=th_col, scale=scale, zero=zero)
 
 
 def slice_slabs(vol: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
@@ -91,7 +105,7 @@ def slice_slabs(vol: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
 
 
 def sample_slabs(slab, ocx, ocy, proposals, ox, oy, hw, *, size, min_disp,
-                 th_col):
+                 th_col, scale=1.0, zero=0.0):
     """Tent-weight reduction over pre-sliced slabs (see sample_windows_slab)."""
     h, w = hw
     d_ = slab.shape[1]
@@ -109,7 +123,8 @@ def sample_slabs(slab, ocx, ocy, proposals, ox, oy, hw, *, size, min_disp,
 
     dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1), 0)
     tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid[None] - dv[:, None]))
-    cost = jnp.sum(slab * tent, axis=1)
+    cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=1)
+    cost = _decode(cost, scale, zero)
     cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
     cost = jnp.minimum(cost, th_col)
 
@@ -134,7 +149,7 @@ def sample_slabs(slab, ocx, ocy, proposals, ox, oy, hw, *, size, min_disp,
 
 
 def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
-                         min_disp, th_col):
+                         min_disp, th_col, scale=1.0, zero=0.0):
     """Tent-weight reduction over ALIGNED slabs.
 
     Unlike :func:`sample_slabs`, the slab's (0, 0) pixel sits exactly at the
@@ -162,6 +177,7 @@ def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
     dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1), 0)
     tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid[None] - dv[:, None]))
     cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=1)
+    cost = _decode(cost, scale, zero)
     cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
     cost = jnp.minimum(cost, th_col)
 
@@ -171,7 +187,7 @@ def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
 
 def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
                     fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
-                    min_disp, th_col) -> jnp.ndarray:
+                    min_disp, th_col, scale=1.0, zero=0.0) -> jnp.ndarray:
     """Tent-weight reduction in REGION-ON-LANES layout.
 
     Same semantics as :func:`sample_slabs_aligned` (windows at the aligned
@@ -201,6 +217,7 @@ def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
     dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1, 1), 0)
     tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
     cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=0)
+    cost = _decode(cost, scale, zero)
     cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
     cost = jnp.minimum(cost, th_col)
 
@@ -210,7 +227,8 @@ def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
 
 def sample_slabs_block(slab_block: jnp.ndarray, proposals: jnp.ndarray,
                        oy0, ox0, t: int, nby: int, nbx: int, *,
-                       min_disp: float, th_col: float) -> jnp.ndarray:
+                       min_disp: float, th_col: float,
+                       scale: float = 1.0, zero: float = 0.0) -> jnp.ndarray:
     """Tent-weight reduction over BLOCK-layout slabs [D, nby, F, nbx, F].
 
     Same semantics as :func:`sample_slabs_aligned` but the slabs stay in the
@@ -240,20 +258,24 @@ def sample_slabs_block(slab_block: jnp.ndarray, proposals: jnp.ndarray,
     dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1, 1, 1), 0)
     tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
     cost = jnp.sum(slab_block.astype(jnp.float32) * tent, axis=0)
+    cost = _decode(cost, scale, zero)
     cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
     return jnp.minimum(cost, th_col)
 
 
-def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col):
+def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col,
+                scale=1.0, zero=0.0):
     slab, ocx, ocy = slice_slabs(vol, ox, oy, size)
     return sample_slabs(slab, ocx, ocy, proposals, ox, oy, vol.shape[1:],
-                        size=size, min_disp=min_disp, th_col=th_col)
+                        size=size, min_disp=min_disp, th_col=th_col,
+                        scale=scale, zero=zero)
 
 
 def sample_windows(vol: jnp.ndarray, proposals: jnp.ndarray,
                    ox: jnp.ndarray, oy: jnp.ndarray, size: int,
                    min_disp: float, max_disp: float, th_col: float,
-                   method: int = 1) -> jnp.ndarray:
+                   method: int = 1, scale: float = 1.0,
+                   zero: float = 0.0) -> jnp.ndarray:
     """Samples raw unary costs for a batch of square windows.
 
     Args:
@@ -288,7 +310,8 @@ def sample_windows(vol: jnp.ndarray, proposals: jnp.ndarray,
     base = yc * w + xc  # [N, F, F] flat spatial index
 
     def tap(dslice):
-        return flat[(dslice * (h * w) + base).reshape(-1)].reshape(base.shape)
+        v = flat[(dslice * (h * w) + base).reshape(-1)].reshape(base.shape)
+        return _decode(v.astype(jnp.float32), scale, zero)
 
     if method == 0:
         di = jnp.floor(d + 0.5).astype(jnp.int32) + d0_off

@@ -51,7 +51,9 @@ class StereoStream:
         (random init; the reference full schedule by default).
       warm_iterations / warm_pm_iterations: schedule of subsequent frames
         (default 1 GC sweep, no PatchMatch sweeps).
-      vol_dtype: cost-volume storage dtype ("bfloat16" halves HBM traffic).
+      vol_dtype: cost-volume storage dtype; "uint8" (default) quantizes
+        to 256 levels over [0, 2*th_col] on device (-17%% frame time vs
+        bf16; bound tau/255 per sample, tests/test_uint8_volume.py).
     """
 
     def __init__(self, params: Parameters, max_disp: float,
@@ -60,7 +62,7 @@ class StereoStream:
                  min_disp: float = 0.0, seed: int = 0,
                  cold_iterations: int = 5, cold_pm_iterations: int = 2,
                  warm_iterations: int = 1, warm_pm_iterations: int = 0,
-                 vol_dtype: str = "bfloat16",
+                 vol_dtype: str = "uint8",
                  stats_backend: str = "device"):
         self.params = params
         self.max_disp = float(max_disp)

@@ -26,6 +26,7 @@ def _problems(b=2, h=26, w=34, nd=8, seed=11):
     return ims, ims1, np.stack(vols).astype(np.float32), nd
 
 
+@pytest.mark.slow
 def test_batched_matches_single_pair_dual_view(tmp_path):
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 virtual devices")
@@ -53,6 +54,7 @@ def test_batched_matches_single_pair_dual_view(tmp_path):
         np.testing.assert_array_equal(final_b[b], final_s)
 
 
+@pytest.mark.slow
 def test_batched_checkpoint_resume(tmp_path):
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 virtual devices")

@@ -62,6 +62,7 @@ def test_gc_energy_monotone(synthetic_pair):
     assert all(b <= a + 1e-2 for a, b in zip(energies, energies[1:])), energies
 
 
+@pytest.mark.slow
 def test_dual_view_run_with_postprocess(synthetic_pair):
     s = _solver(synthetic_pair)
     lab, raw = s.run(iterations=1, view_modes=(0, 1), pm_iterations=1)

@@ -40,6 +40,7 @@ def test_sharded_cost_aggregation_matches_local(mesh8):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_solver_data_parallel():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")

@@ -39,6 +39,7 @@ def _single(ims, vols, b, seed, iters=1, pm=1, views=(0,)):
     return s.run(iterations=iters, view_modes=views, pm_iterations=pm)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [4])
 def test_replica_bit_parity(ndev):
     """Pair b under shard_map == LocalExpansionSolver(seed + b), bitwise."""

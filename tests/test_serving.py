@@ -28,6 +28,7 @@ def _bad1(disp, truth):
     return float((np.abs(disp - truth) > 1.0).mean())
 
 
+@pytest.mark.slow
 def test_stream_warm_start_preserves_quality():
     """Frame 2 on the SAME scene with 1 warm GC sweep must match the cold
     frame's quality (the warm start carries the solution over)."""
@@ -44,6 +45,7 @@ def test_stream_warm_start_preserves_quality():
     assert b1 <= b0 + 0.02, f"warm frame regressed: {b1:.3f} vs {b0:.3f}"
 
 
+@pytest.mark.slow
 def test_stream_adapts_to_scene_change():
     """A changed scene must pull the warm-started solution toward the new
     truth (warm start must not pin the old solution)."""

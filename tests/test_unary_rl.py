@@ -107,6 +107,7 @@ def test_unary_windows_rl_matches_region_major():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_rl_end_to_end():
     """Forced-rl solve: monotone energy and result quality on par with the
     region-major solve (accept decisions may differ by float rounding)."""

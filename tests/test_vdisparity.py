@@ -68,6 +68,7 @@ def test_v_term_lowers_cost_at_truth():
     assert c_true < cost_at(D0, V0 + 0.5)
 
 
+@pytest.mark.slow
 def test_end_to_end_recovers_v():
     im0, im1 = _pair()
     params = PARAMS_GF.replace(windR=6, lambda_=0.5)

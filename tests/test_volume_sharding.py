@@ -33,6 +33,7 @@ def _make(cls, img, vol, nd, unit_sizes, **kw):
     return s
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [3, 8])
 def test_sharded_full_run_bitexact(n_dev):
     devices = jax.devices()[:n_dev]
@@ -55,6 +56,7 @@ def test_sharded_full_run_bitexact(n_dev):
     np.testing.assert_array_equal(c_sh, c_ref)
 
 
+@pytest.mark.slow
 def test_sharded_volume_exceeds_single_device_budget():
     """The config-4 scenario: per-device volume residency is ~1/n of the
     full volume (+halo), i.e. the sharded engine can hold a volume n times
