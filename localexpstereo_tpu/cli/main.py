@@ -26,6 +26,25 @@ from typing import List, Optional
 
 import numpy as np
 
+
+def _apply_platform_flag(argv: Optional[List[str]]) -> None:
+    """Applies ``-platform cpu|tpu`` BEFORE anything can initialize a JAX
+    backend. Must run ahead of the package imports below: even an innocuous
+    module-level ``jnp`` constant would initialize the default (axon/TPU)
+    backend, and the tunneled device hangs client init when wedged — the
+    whole point of the flag is to dodge that."""
+    args = list(sys.argv[1:] if argv is None else argv)
+    for i, a in enumerate(args):
+        if a.lstrip("-") == "platform" and i + 1 < len(args):
+            plat = args[i + 1]
+            if plat in ("cpu", "tpu"):
+                import jax
+                jax.config.update("jax_platforms", plat)
+            return
+
+
+_apply_platform_flag(None)
+
 from ..config import PARAMS_GF, Options
 from ..models.engine import LAYER0_PROPOSERS, COARSE_PROPOSERS, \
     LocalExpansionSolver
@@ -73,6 +92,10 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     # evaluator's timer starts, so time.txt is pure optimization time like
     # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.
     ap.add_argument("--warmup", type=int, default=1)
+    # Backend selection. The environment's tunneled-TPU plugin ignores the
+    # JAX_PLATFORMS env var, so "-platform cpu" is the reliable way to run
+    # the CLI off-device (fast iteration, or a busy/wedged tunnel).
+    ap.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
     ns = ap.parse_args(norm)
 
     return Options(
@@ -82,7 +105,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
         seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
-        vol_precision=ns.volPrecision)
+        vol_precision=ns.volPrecision, platform=ns.platform)
 
 
 def print_options(opt: Options):
@@ -218,6 +241,9 @@ def run_midv3(opt: Options):
 
 def main(argv: Optional[List[str]] = None) -> int:
     opt = parse_args(argv)
+    if opt.platform:
+        import jax
+        jax.config.update("jax_platforms", opt.platform)
     print_options(opt)
     if opt.output_dir:
         os.makedirs(opt.output_dir, exist_ok=True)

@@ -87,6 +87,11 @@ class Options:
     vol_precision: str = "uint8"
     warmup: int = 1  # precompile executables before the timed run (time.txt
                      # then measures pure optimization, TimeStamper semantics)
+    #: "" = jax default; "cpu"/"tpu" force the backend via jax.config
+    #: (the env's axon TPU plugin ignores the JAX_PLATFORMS env var, so a
+    #: config-level force is the only reliable CPU opt-out when the
+    #: tunneled device is busy or wedged).
+    platform: str = ""
 
     def resolve_smooth_weight(self) -> float:
         """Mode presets (``main.cpp:37-40``): MiddV2 -> 1.0, MiddV3 -> 0.5,

@@ -44,7 +44,11 @@ from . import pairwise
 #: (dx, dy) of the 4 forward edge directions, in table order (GE, EG, LG, GG).
 EDGE_DIRS = tuple(pairwise.NEIGHBORS[k] for k in pairwise.FORWARD)
 
-_INF = jnp.float32(3e38)
+# Plain Python float, NOT jnp.float32: a module-level device constant would
+# initialize the JAX backend at import time, which (a) defeats the CLI's
+# -platform escape hatch and (b) hangs every import when the tunneled TPU
+# is wedged. jnp ops coerce it identically under trace.
+_INF = float(3e38)
 
 
 def _shift(x: jnp.ndarray, dx: int, dy: int, fill):
