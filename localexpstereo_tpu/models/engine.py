@@ -775,9 +775,18 @@ class LocalExpansionSolver:
             from . import postprocess
             lab_l = self._unpadded_labeling(state, 0)
             lab_r = self._unpadded_labeling(state, 1)
-            lab_l, lab_r = postprocess.post_process(
+            # Device-resident fixed-shape postprocess (one dispatch, no host
+            # round trips); bit-equal to the host path while the failed
+            # count fits the static cap — the rare overflow falls back.
+            ll, lr, nl, nr, cap = postprocess.post_process_fixed(
                 lab_l, lab_r, self.im0, self.im1, self.params,
                 threshold=1.5)
+            if int(nl) > cap or int(nr) > cap:
+                lab_l, lab_r = postprocess.post_process(
+                    lab_l, lab_r, self.im0, self.im1, self.params,
+                    threshold=1.5)
+            else:
+                lab_l, lab_r = ll, lr
             state[0] = self._set_unpadded_labeling(state[0], lab_l)
             state[1] = self._set_unpadded_labeling(state[1], lab_r)
             final = lab_l

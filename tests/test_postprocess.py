@@ -105,6 +105,72 @@ def test_weighted_median_respects_weights():
     assert out[0, 3, 2] == pytest.approx(9.0)
 
 
+def _random_dual_case(seed, h=14, w=22, nd=8.0):
+    """A noisy dual-view pair with genuine consistency failures."""
+    rng = np.random.default_rng(seed)
+    def lab(d):
+        out = np.zeros((h, w, 4), np.float32)
+        out[..., 0] = rng.uniform(-0.05, 0.05, (h, w))
+        out[..., 1] = rng.uniform(-0.05, 0.05, (h, w))
+        out[..., 2] = d
+        return out
+    d_l = np.clip(rng.normal(nd / 2, nd / 4, (h, w)), 0, nd).astype(np.float32)
+    d_r = np.clip(d_l + rng.normal(0, 1.2, (h, w)), 0, nd).astype(np.float32)
+    im0 = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    im1 = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    return lab(d_l), lab(d_r), im0, im1
+
+
+def test_post_process_fixed_matches_host_path():
+    """The static-capacity traced postprocess (deployment path) must equal
+    the host `post_process` exactly whenever the failed count fits the cap."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    params = PARAMS_GF.replace(windR=4)
+    lab_l, lab_r, im0, im1 = _random_dual_case(3)
+    ref_l, ref_r = postprocess.post_process(
+        jnp.asarray(lab_l), jnp.asarray(lab_r), im0, im1, params,
+        threshold=1.0)
+    got_l, got_r, nl, nr, cap = postprocess.post_process_fixed(
+        jnp.asarray(lab_l), jnp.asarray(lab_r), im0, im1, params,
+        threshold=1.0, fail_cap=448, chunk=64)
+    assert int(nl) > 0 and int(nl) <= cap and int(nr) <= cap
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(ref_r))
+
+
+def test_post_process_batched_matches_per_pair():
+    """vmapped batch tail == per-pair host post_process for every pair."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    params = PARAMS_GF.replace(windR=3)
+    cases = [_random_dual_case(s) for s in (7, 11, 13)]
+    labs_l = np.stack([c[0] for c in cases])
+    labs_r = np.stack([c[1] for c in cases])
+    ims0 = np.stack([c[2] for c in cases])
+    ims1 = np.stack([c[3] for c in cases])
+    ll, lr, nl, nr, cap = postprocess.post_process_batched(
+        jnp.asarray(labs_l), jnp.asarray(labs_r), ims0, ims1, params,
+        threshold=1.0, fail_cap=448, chunk=64)
+    assert int(np.max(np.asarray(nl))) <= cap
+    for b, (al, ar, i0, i1) in enumerate(cases):
+        ref_l, ref_r = postprocess.post_process(
+            jnp.asarray(al), jnp.asarray(ar), i0, i1, params, threshold=1.0)
+        np.testing.assert_array_equal(np.asarray(ll[b]), np.asarray(ref_l))
+        np.testing.assert_array_equal(np.asarray(lr[b]), np.asarray(ref_r))
+
+
+def test_post_process_fixed_overflow_reports_count():
+    """When n_fail exceeds the cap, the count must reveal it (callers fall
+    back to the host path) and uncapped pixels keep hole-filled labels."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    params = PARAMS_GF.replace(windR=3)
+    lab_l, lab_r, im0, im1 = _random_dual_case(17)
+    _, _, nl, nr, cap = postprocess.post_process_fixed(
+        jnp.asarray(lab_l), jnp.asarray(lab_r), im0, im1, params,
+        threshold=0.05, fail_cap=8, chunk=8)   # tiny cap, huge fail set
+    assert cap == 8
+    assert int(nl) > cap or int(nr) > cap
+
+
 def test_post_process_end_to_end_consistent_pair_is_noop():
     """A perfectly consistent fronto-parallel pair has no failed pixels, so
     post-processing must leave the labelings untouched."""
