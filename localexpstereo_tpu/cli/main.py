@@ -182,13 +182,12 @@ def run_midv2(opt: Options):
                 gt_precision=pair.calib.gt_prec)
 
 
-def run_midv3(opt: Options):
-    """V3 driver (``main.cpp:331-421``)."""
-    pair = datasets.load_data(opt.target_dir, opt.ndisp)
-    print(f"ndisp = {pair.ndisp}")
+def load_v3_volumes(target_dir: str, volume: str, pair: datasets.StereoPair):
+    """Left/right cost volumes for a V3 dataset: ``im0.acrt``/``im1.acrt``
+    (threaded C++ loader with numpy fallback; R recovered from L when absent,
+    ``main.cpp:363-367``) or the on-device MC-CNN pipeline."""
     h, w = pair.im0.shape[:2]
-
-    if opt.volume == "mccnn":
+    if volume == "mccnn":
         # End-to-end on-device pipeline: images -> MC-CNN features ->
         # cosine cost volumes, replacing the offline Torch/CUDA MC-CNN the
         # reference depends on (``README.md:74-91``).
@@ -201,40 +200,58 @@ def run_midv3(opt: Options):
             pair.ndisp))
         vol_r = acrt.fill_out_of_view(
             acrt.convert_volume_l2r(vol_l), 1)
-    else:
-        p0 = os.path.join(opt.target_dir, "im0.acrt")
-        p1 = os.path.join(opt.target_dir, "im1.acrt")
-        try:
-            # Threaded C++ loader (parallel pread + fused fills); falls back
-            # to the numpy codec if the toolchain is unavailable.
-            from .. import native
-            vol_l = native.read_acrt_fill(p0, pair.ndisp, h, w, fill_mode=0)
-            if os.path.exists(p1):
-                vol_r = native.read_acrt_fill(p1, pair.ndisp, h, w,
-                                              fill_mode=1)
-            else:
-                print("Cost volume file im1.acrt not found so recovered "
-                      "from im0.acrt.")
-                vol_r = native.convert_l2r_fill(vol_l)
-        except (OSError, subprocess.CalledProcessError):
-            vol_l = acrt.read_acrt(p0, pair.ndisp, h, w)
-            vol_l = acrt.fill_out_of_view(vol_l, 0)
-            if os.path.exists(p1):
-                vol_r = acrt.read_acrt(p1, pair.ndisp, h, w)
-            else:
-                print("Cost volume file im1.acrt not found so recovered "
-                      "from im0.acrt.")
-                vol_r = acrt.convert_volume_l2r(vol_l)
-            vol_r = acrt.fill_out_of_view(vol_r, 1)
+        return vol_l, vol_r
+    p0 = os.path.join(target_dir, "im0.acrt")
+    p1 = os.path.join(target_dir, "im1.acrt")
+    try:
+        # Threaded C++ loader (parallel pread + fused fills); falls back
+        # to the numpy codec if the toolchain is unavailable.
+        from .. import native
+        vol_l = native.read_acrt_fill(p0, pair.ndisp, h, w, fill_mode=0)
+        if os.path.exists(p1):
+            vol_r = native.read_acrt_fill(p1, pair.ndisp, h, w,
+                                          fill_mode=1)
+        else:
+            print("Cost volume file im1.acrt not found so recovered "
+                  "from im0.acrt.")
+            vol_r = native.convert_l2r_fill(vol_l)
+    except (OSError, subprocess.CalledProcessError):
+        vol_l = acrt.read_acrt(p0, pair.ndisp, h, w)
+        vol_l = acrt.fill_out_of_view(vol_l, 0)
+        if os.path.exists(p1):
+            vol_r = acrt.read_acrt(p1, pair.ndisp, h, w)
+        else:
+            print("Cost volume file im1.acrt not found so recovered "
+                  "from im0.acrt.")
+            vol_r = acrt.convert_volume_l2r(vol_l)
+        vol_r = acrt.fill_out_of_view(vol_r, 1)
+    return vol_l, vol_r
 
+
+def v3_error_threshold(target_dir: str) -> float:
+    """1.0, halved for quarter-size datasets, doubled for full-size
+    (``main.cpp:342-346``)."""
     err = 1.0
-    if "trainingQ" in opt.target_dir or "testQ" in opt.target_dir:
+    if "trainingQ" in target_dir or "testQ" in target_dir:
         err /= 2.0
-    elif "trainingF" in opt.target_dir or "testF" in opt.target_dir:
+    elif "trainingF" in target_dir or "testF" in target_dir:
         err *= 2.0
+    return err
 
-    layers = [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
-              max(1, int(w * 0.09))]
+
+def v3_layers(w: int) -> List[int]:
+    return [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
+            max(1, int(w * 0.09))]
+
+
+def run_midv3(opt: Options):
+    """V3 driver (``main.cpp:331-421``)."""
+    pair = datasets.load_data(opt.target_dir, opt.ndisp)
+    print(f"ndisp = {pair.ndisp}")
+    h, w = pair.im0.shape[:2]
+    vol_l, vol_r = load_v3_volumes(opt.target_dir, opt.volume, pair)
+    err = v3_error_threshold(opt.target_dir)
+    layers = v3_layers(w)
     solver = _make_solver(pair, opt, layers=layers, vols=(vol_l, vol_r))
     return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0)
 

@@ -206,6 +206,21 @@ class ReplicaSolver:
         keys_b = jax.random.split(key, self.padded)
         return self._sweep(state, mode, outer_iter, do_gc, keys_b)
 
+    def precompile(self, view_modes: Sequence[int] = (0, 1),
+                   pm_iterations: int = 1, iterations: int = 1):
+        """Compiles every executable a following :meth:`run` with the same
+        schedule shape will dispatch, by running a throwaway 1+1-sweep solve
+        without evaluators (cf. ``LocalExpansionSolver.precompile`` — plans
+        are padded to the outer_iter=0 variant, so one sweep of each kind
+        covers all outer iterations). Keeps batch ``time.txt`` on the
+        reference's pure-optimization timing contract."""
+        evs, self.evaluators = self.evaluators, None
+        try:
+            self.run(iterations=min(iterations, 1), view_modes=view_modes,
+                     pm_iterations=min(pm_iterations, 1))
+        finally:
+            self.evaluators = evs
+
     # --------------------------------------------------------------- run --
 
     def run(self, iterations: int, view_modes: Sequence[int] = (0,),
