@@ -360,6 +360,66 @@ def color_step(data, cfg, labeling_m, cost_m, ox, oy, rmask, cox, coy,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "unit_size", "nbx", "nby", "mode"))
+def fusion_color_step(data, cfg, labeling_m, cost_m, ext_lab_m, ext_cost_m,
+                      ox, oy, rmask, cox, coy, *, unit_size, nbx, nby, mode):
+    """One (layer, color) FUSION move: every region of the color solves a
+    binary min-cut choosing per pixel between the current and an external
+    labeling (``fusionMoveBK``, ``FastGCStereo.h:241-410`` — implemented by
+    the reference but never called from its main path; here a first-class
+    sweep). The fusion graph truncates non-submodular edges exactly like
+    the reference's clamp, so the exact per-region energy delta guard is
+    the correctness backstop."""
+    s = unit_size
+    ss = 3 * s
+    t4 = 4 * s
+    p = cfg.pad
+    tmask = energy_mod.in_image_windows(cfg, ox, oy, -s, ss) > 0
+    canvas_hw = (nby * t4, nbx * t4)
+    start2 = (coy + p, cox + p)
+    halo0 = windows.dense_windows(labeling_m, coy + p - 1, cox + p - 1,
+                                  nby, nbx, t4, ss + 2)
+    halo1 = windows.dense_windows(ext_lab_m, coy + p - 1, cox + p - 1,
+                                  nby, nbx, t4, ss + 2)
+    ccost = windows.dense_windows(cost_m, coy + p, cox + p, nby, nbx, t4, ss)
+    pcost = windows.dense_windows(ext_cost_m, coy + p, cox + p, nby, nbx,
+                                  t4, ss)
+    coeff_win = windows.dense_windows_leading(
+        data.coeff8[mode], coy + p, cox + p, nby, nbx, t4, ss)
+    coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
+    lam = cfg.params.lambda_
+    tau = cfg.params.th_smooth
+    tox = (ox - s).astype(jnp.float32)
+    toy = (oy - s).astype(jnp.float32)
+    c00, c01, c10, c11 = jax.vmap(
+        lambda h0, h1, cf, x0, y0: pairwise.fusion_tables(
+            h0, h1, cf, x0, y0, lam, tau))(halo0, halo1, coeff_fwd, tox, toy)
+    t0b, t1b = jax.vmap(
+        lambda h0, h1, cf, x0, y0: pairwise.fusion_boundary_tlinks(
+            h0, h1, cf, x0, y0, lam, tau))(halo0, halo1, coeff_win, tox, toy)
+    t0 = ccost + t0b
+    t1 = pcost + t1b
+    accept = mincut.fusion_accept(t0, t1, c00, c01, c10, c11)
+    delta = mincut.fusion_move_energy_delta(accept, t0, t1, c00, c01, c10,
+                                            c11)
+    accept &= (delta <= 0.0)[:, None, None]
+    accept &= tmask & rmask[:, None, None]
+
+    acc_c = _to_canvas(accept, nby, nbx, s)
+    cost_c = _to_canvas(pcost, nby, nbx, s)
+    lab_c = _to_canvas(halo1[:, 1:-1, 1:-1, :], nby, nbx, s)
+    cur_cost = jax.lax.dynamic_slice(cost_m, start2, canvas_hw)
+    cost_m = jax.lax.dynamic_update_slice(
+        cost_m, jnp.where(acc_c, cost_c, cur_cost), start2)
+    cur_lab = jax.lax.dynamic_slice(labeling_m, start2 + (0,),
+                                    canvas_hw + (4,))
+    labeling_m = jax.lax.dynamic_update_slice(
+        labeling_m, jnp.where(acc_c[..., None], lab_c, cur_lab),
+        start2 + (0,))
+    return labeling_m, cost_m
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "unit_size", "nbx", "nby", "plan", "do_gc",
                      "mode"))
@@ -800,6 +860,36 @@ class LocalExpansionSolver:
             self.evaluator.stop()
         self._state = state
         return np.asarray(final), np.asarray(raw)
+
+    def fuse(self, labeling, mode: int = 0, layer_index: int = 0):
+        """Fuses an external [H, W, 4] labeling into the current solution
+        with one full 16-color fusion-move sweep (the reference's unused
+        ``fusionMoveBK`` hook, ``FastGCStereo.h:241-410``, as a first-class
+        API — e.g. fuse two independent solves from different seeds, or a
+        model-predicted plane initialization).
+
+        The external labeling's per-pixel unary is evaluated once
+        (:func:`init_from_labeling`); each region then solves a binary
+        min-cut choosing per pixel between its current and external label,
+        guarded to be energy-non-increasing. Updates internal state and
+        returns the fused [H, W, 4] labeling (call after :meth:`run`).
+        """
+        assert hasattr(self, "_state"), "fuse() requires a completed run()"
+        ext_lab_m, ext_cost_m = init_from_labeling(
+            self.data, self.cfg, np.asarray(labeling, np.float32), mode)
+        layer = self.layers[layer_index]
+        labeling_m, cost_m = self._state[mode]
+        for (i0, j0) in layer.colors:
+            ox, oy, rmask = layer.color_regions(i0, j0)
+            cox, coy = layer.canvas_origin(i0, j0)
+            labeling_m, cost_m = fusion_color_step(
+                self.data, self.cfg, labeling_m, cost_m, ext_lab_m,
+                ext_cost_m, jnp.asarray(ox), jnp.asarray(oy),
+                jnp.asarray(rmask), jnp.int32(cox), jnp.int32(coy),
+                unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
+                mode=mode)
+        self._state[mode] = (labeling_m, cost_m)
+        return np.asarray(self._unpadded_labeling(self._state, mode))
 
     # ------------------------------------------------------------ helpers --
 

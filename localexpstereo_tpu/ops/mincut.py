@@ -336,6 +336,27 @@ def move_energy_delta(accept: jnp.ndarray, t0, t1, c00, c01, c10):
     return delta
 
 
+def fusion_move_energy_delta(accept: jnp.ndarray, t0, t1, c00, c01, c10,
+                             c11):
+    """Exact region energy change of a FUSION accept mask (c11 not
+    identically zero, unlike expansion — ``StereoEnergy.h:331-394``). Used
+    as the engine's monotonicity guard on fusion sweeps; the truncated
+    non-submodular edges make the solve approximate, so the guard is the
+    correctness backstop."""
+    s = t0.shape[-1]
+    emask = _edge_masks(s)[None]
+    x = accept.astype(jnp.float32)
+    delta = jnp.sum((t1 - t0) * x, axis=(-2, -1))
+    for k, (dx, dy) in enumerate(EDGE_DIRS):
+        xq = _shift(x, dx, dy, 0.0)
+        pair = (c00[:, k] * (1 - x) * (1 - xq) + c01[:, k] * (1 - x) * xq
+                + c10[:, k] * x * (1 - xq) + c11[:, k] * x * xq)
+        base = c00[:, k]
+        m = emask[:, k].astype(jnp.float32)
+        delta = delta + jnp.sum((pair - base) * m, axis=(-2, -1))
+    return delta
+
+
 def greedy_accept(current_cost: jnp.ndarray,
                   proposal_cost: jnp.ndarray) -> jnp.ndarray:
     """PatchMatch-style per-pixel acceptance used by the pm-init sweeps:

@@ -205,6 +205,45 @@ def fusion_tables(labels0_halo: jnp.ndarray, labels1_halo: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
+def fusion_boundary_tlinks(labels0_halo: jnp.ndarray,
+                           labels1_halo: jnp.ndarray,
+                           coeff_all: jnp.ndarray, ox: jnp.ndarray,
+                           oy: jnp.ndarray, lambda_: float, tau: float):
+    """Boundary absorption for the FUSION move (``FastGCStereo.h:440-477``
+    semantics with per-pixel proposals): neighbors outside the window keep
+    their current (labeling-0) label; the switch state of pixel p takes its
+    per-pixel labeling-1 label instead of a shared proposal plane.
+
+    Returns (t0, t1): [S, S] extra costs for keep / switch.
+    """
+    s = labels0_halo.shape[0] - 2
+    lab0 = labels0_halo[1:-1, 1:-1]
+    lab1 = labels1_halo[1:-1, 1:-1]
+    ys = oy + jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    xs = ox + jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    d0_p = _disp(lab0, xs, ys)
+    d1_p = _disp(lab1, xs, ys)
+
+    t0 = jnp.zeros((s, s), jnp.float32)
+    t1 = jnp.zeros((s, s), jnp.float32)
+    for k, (dx, dy) in enumerate(NEIGHBORS):
+        outside = ((ix + dx < 0) | (ix + dx >= s) | (iy + dy < 0)
+                   | (iy + dy >= s))
+        lab_q = labels0_halo[1 + dy:1 + dy + s, 1 + dx:1 + dx + s]
+        xq, yq = xs + dx, ys + dy
+        dq_p = _disp(lab_q, xs, ys)
+        dq_q = _disp(lab_q, xq, yq)
+        d0_q = _disp(lab0, xq, yq)
+        d1_q = _disp(lab1, xq, yq)
+        w = jnp.where(outside, coeff_all[k], 0.0) * lambda_
+        t0 += jnp.minimum(jnp.abs(d0_p - dq_p) + jnp.abs(d0_q - dq_q), tau) * w
+        t1 += jnp.minimum(jnp.abs(d1_p - dq_p) + jnp.abs(d1_q - dq_q), tau) * w
+    return t0, t1
+
+
+@functools.partial(jax.jit, static_argnames=("lambda_", "tau"))
 def boundary_tlinks(labels_halo: jnp.ndarray, proposal: jnp.ndarray,
                     coeff_all: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                     lambda_: float, tau: float):

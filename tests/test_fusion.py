@@ -145,3 +145,93 @@ def test_fusion_reduces_to_expansion_when_lab1_constant():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(f10), np.asarray(e10), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_fusion_move_energy_delta_matches_brute():
+    """fusion_move_energy_delta(accept) == E(accept) - E(all-zero)."""
+    rng = np.random.default_rng(3)
+    n, s = 5, 4
+    t0, t1, c00, c01, c10, c11, *_ = _fusion_problem(rng, n, s)
+    acc = rng.random((n, s, s)) > 0.5
+    delta = np.asarray(mincut.fusion_move_energy_delta(
+        jnp.asarray(acc), jnp.asarray(t0), jnp.asarray(t1),
+        jnp.asarray(c00), jnp.asarray(c01), jnp.asarray(c10),
+        jnp.asarray(c11)))
+    for i in range(n):
+        want = (_energy(acc[i], t0[i], t1[i], c00[i], c01[i], c10[i],
+                        c11[i])
+                - _energy(np.zeros((s, s), bool), t0[i], t1[i], c00[i],
+                          c01[i], c10[i], c11[i]))
+        assert delta[i] == pytest.approx(want, rel=1e-4, abs=1e-3)
+
+
+def test_fusion_boundary_tlinks_degenerates_to_expansion():
+    """With labeling 1 == a constant plane, the fusion boundary absorption
+    must equal the expansion one for that plane as proposal."""
+    rng = np.random.default_rng(4)
+    s = 5
+    h0 = rng.standard_normal((s + 2, s + 2, 4)).astype(np.float32)
+    prop = rng.standard_normal(4).astype(np.float32)
+    h1 = np.broadcast_to(prop, (s + 2, s + 2, 4)).copy()
+    coeff = rng.random((8, s, s)).astype(np.float32)
+    ox, oy, lam, tau = 3.0, 9.0, 0.7, 1.0
+    want = pairwise.boundary_tlinks(jnp.asarray(h0), jnp.asarray(prop),
+                                    jnp.asarray(coeff), ox, oy, lam, tau)
+    got = pairwise.fusion_boundary_tlinks(
+        jnp.asarray(h0), jnp.asarray(h1), jnp.asarray(coeff), ox, oy,
+        lam, tau)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_engine_fuse_adopts_better_labeling():
+    """Solver.fuse: fusing an oracle labeling (the planted plane of a
+    synthetic volume) into a short solve must not increase the energy, must
+    strictly adopt oracle labels where they help, and fusing the state's
+    own labeling is a no-op."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.models.engine import LocalExpansionSolver
+
+    rng = np.random.default_rng(0)
+    h, w, nd = 32, 48, 8
+    a_true, b_true, c_true = 0.04, 0.02, 2.0
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    d_true = np.clip(a_true * xs + b_true * ys + c_true, 0, nd - 1)
+    dd = np.arange(nd, dtype=np.float32)[:, None, None]
+    vol = np.minimum(np.abs(dd - d_true[None]) * 0.4, 1.0).astype(np.float32)
+    vol += rng.random(vol.shape, np.float32) * 0.02
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    params = PARAMS_GF.replace(windR=4, lambda_=0.5, th_col=0.5)
+
+    solver = LocalExpansionSolver(img, img, params, max_disp=float(nd - 1),
+                                  vol0=vol, vol1=vol, seed=0,
+                                  vol_dtype="float32")
+    solver.add_layer(3, ("expansion", "ransac", "random7"))
+    solver.run(iterations=1, view_modes=(0,), pm_iterations=1)
+
+    from localexpstereo_tpu.models.engine import energy_audit
+    lab0, cost0 = solver._state[0]
+    e_before = float(energy_audit(solver.data, solver.cfg, lab0, cost0,
+                                  0)[0])
+
+    # No-op: fusing the current labeling leaves state bitwise unchanged.
+    cur = np.asarray(solver._unpadded_labeling(solver._state, 0))
+    fused_same = solver.fuse(cur, mode=0)
+    np.testing.assert_array_equal(fused_same, cur)
+
+    oracle = np.zeros((h, w, 4), np.float32)
+    oracle[..., 0] = a_true
+    oracle[..., 1] = b_true
+    oracle[..., 2] = c_true
+    fused = solver.fuse(oracle, mode=0)
+    lab1, cost1 = solver._state[0]
+    e_after = float(energy_audit(solver.data, solver.cfg, lab1, cost1,
+                                 0)[0])
+    assert e_after <= e_before + 1e-3
+    # The oracle plane should win somewhere (the 1+1-sweep solve is far
+    # from converged on this volume).
+    took = np.any(np.all(np.abs(fused - oracle) < 1e-6, axis=-1))
+    assert bool(took)
