@@ -228,3 +228,97 @@ def ransac(key: jax.Array, cell_labels: jnp.ndarray, ox, oy, cw, ch,
     a, b, c_local = abc[:, 0], abc[:, 1], abc[:, 2]
     c = c_local - a * ox.astype(jnp.float32) - b * oy.astype(jnp.float32)
     return jnp.stack([a, b, c, jnp.zeros_like(c)], axis=-1)
+
+
+def completion_labeling(labeling, image, block: int = 48,
+                        offset=(0, 0), irls_rounds: int = 3,
+                        texture_radius: int = 2):
+    """Piecewise-planar completion of a labeling (host-side, numpy).
+
+    For each ``block`` x ``block`` tile of the image (grid shifted by
+    ``offset``), robust-fits ONE plane to the tile's current plane-induced
+    disparities, weighting samples by local image texture — low-texture
+    pixels, where the data term is shallow and planes drift, get near-zero
+    weight — then paints the whole tile with the fitted plane. The result
+    is an external labeling for :meth:`LocalExpansionSolver.fuse`: the
+    per-pixel fusion min-cut adopts the completion exactly where it lowers
+    the energy. This is the large-move escape for low-texture traps that
+    per-region expansion cannot perform (PARITY.md, "Anatomy of the
+    residual venus/tsukuba gap"): the confident surround dictates the
+    plane across the unconfident interior.
+
+    Deterministic IRLS (Cauchy reweighting) replaces the reference's
+    randomized RANSAC (``Proposer.h:177-240``) — the fit is over ~1000s of
+    samples per tile and feeds a guarded fusion, so robustness without RNG
+    is the right trade.
+
+    Args:
+      labeling: [H, W, 4] current labels.
+      image: [H, W, 3] BGR float image (texture source).
+      block: tile size in pixels.
+      offset: (dy, dx) grid shift — fuse several offsets so tile seams of
+        one grid fall inside tiles of another.
+      irls_rounds: reweighted refits after the initial weighted LSQ.
+      texture_radius: half-window of the local-variance texture measure.
+
+    Returns:
+      [H, W, 4] float32 external labeling (v = 0 everywhere).
+    """
+    import numpy as np
+
+    lab = np.asarray(labeling, np.float32)
+    h, w = lab.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    d = lab[..., 0] * xs + lab[..., 1] * ys + lab[..., 2]
+
+    # Local-variance texture confidence via box sums.
+    gray = np.asarray(image, np.float32).mean(-1)
+    r = texture_radius
+    k = 2 * r + 1
+
+    def box(a):
+        p = np.pad(a, r, mode="edge")
+        c = np.cumsum(np.cumsum(p, 0), 1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        return (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]) / (k * k)
+
+    var = np.maximum(box(gray * gray) - box(gray) ** 2, 0.0)
+    conf = np.sqrt(var)
+
+    out = np.empty_like(lab)
+    oy0, ox0 = int(offset[0]) % block, int(offset[1]) % block
+    y_edges = [0] + list(range(oy0 if oy0 else block, h, block)) + [h]
+    x_edges = [0] + list(range(ox0 if ox0 else block, w, block)) + [w]
+    for yi in range(len(y_edges) - 1):
+        for xi in range(len(x_edges) - 1):
+            y0, y1 = y_edges[yi], y_edges[yi + 1]
+            x0, x1 = x_edges[xi], x_edges[xi + 1]
+            if y0 >= y1 or x0 >= x1:
+                continue
+            tx = xs[y0:y1, x0:x1].ravel()
+            ty = ys[y0:y1, x0:x1].ravel()
+            td = d[y0:y1, x0:x1].ravel()
+            tw = conf[y0:y1, x0:x1].ravel().copy()
+            if not np.any(tw > 0):
+                tw[:] = 1.0
+            # Center coordinates for conditioning (cf. ransac()).
+            cx_, cy_ = tx.mean(), ty.mean()
+            a_mat = np.stack([tx - cx_, ty - cy_, np.ones_like(tx)], -1)
+            p = None
+            for _ in range(irls_rounds + 1):
+                aw = a_mat * tw[:, None]
+                ata = aw.T @ a_mat
+                atb = aw.T @ td
+                try:
+                    p = np.linalg.solve(ata + 1e-6 * np.eye(3), atb)
+                except np.linalg.LinAlgError:  # pragma: no cover
+                    p = np.array([0.0, 0.0, float(np.median(td))])
+                resid = a_mat @ p - td
+                tw = conf[y0:y1, x0:x1].ravel() / (1.0 + resid ** 2)
+            a, b = p[0], p[1]
+            c = p[2] - a * cx_ - b * cy_
+            out[y0:y1, x0:x1, 0] = a
+            out[y0:y1, x0:x1, 1] = b
+            out[y0:y1, x0:x1, 2] = c
+            out[y0:y1, x0:x1, 3] = 0.0
+    return out

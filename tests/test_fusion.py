@@ -235,3 +235,29 @@ def test_engine_fuse_adopts_better_labeling():
     # from converged on this volume).
     took = np.any(np.all(np.abs(fused - oracle) < 1e-6, axis=-1))
     assert bool(took)
+
+
+def test_completion_labeling_recovers_plane_in_low_texture_strip():
+    """A tile whose low-texture strip drifted to a wrong plane must be
+    completed from the textured surround's (correct) plane."""
+    from localexpstereo_tpu.models import proposals
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 64
+    a, b, c = 0.03, -0.02, 5.0
+    lab = np.zeros((h, w, 4), np.float32)
+    lab[..., 0], lab[..., 1], lab[..., 2] = a, b, c
+    # Strip x in [24, 40): wrong plane, and textureless image there.
+    lab[:, 24:40, 0] = 0.0
+    lab[:, 24:40, 1] = 0.0
+    lab[:, 24:40, 2] = c + 2.0
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    img[:, 24:40] = 100.0
+
+    ext = proposals.completion_labeling(lab, img, block=64)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    want = a * xs + b * ys + c
+    got = ext[..., 0] * xs + ext[..., 1] * ys + ext[..., 2]
+    # Completed strip follows the true plane, not the drifted one.
+    assert np.abs(got[:, 24:40] - want[:, 24:40]).max() < 0.3
+    assert np.abs(ext[:, :, 3]).max() == 0.0
