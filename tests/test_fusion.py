@@ -261,3 +261,51 @@ def test_completion_labeling_recovers_plane_in_low_texture_strip():
     # Completed strip follows the true plane, not the drifted one.
     assert np.abs(got[:, 24:40] - want[:, 24:40]).max() < 0.3
     assert np.abs(ext[:, :, 3]).max() == 0.0
+
+
+@pytest.mark.slow
+def test_run_fuse_with_lowers_energy():
+    """run(fuse_with=[other solve's labeling]) must end at energy <= the
+    plain solve (fusion applied after GC, before postprocess)."""
+    from localexpstereo_tpu.config import PARAMS_GF
+    from localexpstereo_tpu.models.engine import (LocalExpansionSolver,
+                                                  energy_audit)
+
+    rng = np.random.default_rng(1)
+    h, w, nd = 32, 48, 8
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    d_true = np.clip(0.03 * xs + 0.01 * ys + 2.0, 0, nd - 1)
+    dd = np.arange(nd, dtype=np.float32)[:, None, None]
+    vol = np.minimum(np.abs(dd - d_true[None]) * 0.4, 1.0).astype(np.float32)
+    vol += rng.random(vol.shape, np.float32) * 0.05
+    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
+    params = PARAMS_GF.replace(windR=4, lambda_=0.5, th_col=0.5)
+
+    def make(seed):
+        s = LocalExpansionSolver(img, img, params, max_disp=float(nd - 1),
+                                 vol0=vol, vol1=vol, seed=seed,
+                                 vol_dtype="float32")
+        s.add_layer(3, ("expansion", "ransac", "random7"))
+        return s
+
+    solo = make(0)
+    solo.run(iterations=1, view_modes=(0,), pm_iterations=1)
+    e_solo = float(energy_audit(solo.data, solo.cfg, *solo._state[0], 0)[0])
+
+    aux = make(1)
+    aux.run(iterations=1, view_modes=(0,), pm_iterations=1)
+    ext = np.asarray(aux._unpadded_labeling(aux._state, 0))
+
+    fused = make(0)
+    fused.run(iterations=1, view_modes=(0,), pm_iterations=1,
+              fuse_with=[ext])
+    e_fused = float(energy_audit(fused.data, fused.cfg, *fused._state[0],
+                                 0)[0])
+    assert e_fused <= e_solo + 1e-3
+
+
+def test_cli_fuse_seeds_flag():
+    from localexpstereo_tpu.cli import main as cli
+    assert cli.parse_args(["-mode", "MiddV2", "-fuseSeeds", "3"]
+                          ).fuse_seeds == 3
+    assert cli.parse_args(["-mode", "MiddV2"]).fuse_seeds == 0
