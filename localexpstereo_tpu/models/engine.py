@@ -743,6 +743,7 @@ class LocalExpansionSolver:
     def run(self, iterations: int, view_modes: Sequence[int] = (0, 1),
             pm_iterations: int = 0, init_labeling=None,
             init_mode: str = "exact", fuse_with=None,
+            host_outputs: bool = True,
             checkpoint_path: Optional[str] = None,
             checkpoint_every: int = 0, resume_from: Optional[str] = None):
         """Full optimization (cf. ``FastGCStereo::run``). Returns
@@ -757,6 +758,10 @@ class LocalExpansionSolver:
             "cell" seeds each layer-0 cell with the labeling's value at the
             cell's random pixel, at the cost of one init dispatch (the
             serving / video-rate warm start).
+          host_outputs: when False, return DEVICE arrays instead of numpy —
+            serving keeps the labeling on device between frames, avoiding
+            two full [H, W, 4] transfers per frame over the (slow,
+            tunneled) host link.
           fuse_with: optional sequence of external labelings to fusion-move
             into the solution AFTER the GC sweeps and BEFORE the dual-view
             post-process. Each entry is an [H, W, 4] array (applied to view
@@ -878,7 +883,9 @@ class LocalExpansionSolver:
         if self.evaluator is not None:
             self.evaluator.stop()
         self._state = state
-        return np.asarray(final), np.asarray(raw)
+        if host_outputs:
+            return np.asarray(final), np.asarray(raw)
+        return jnp.asarray(final), jnp.asarray(raw)
 
     def fuse(self, labeling, mode: int = 0, layer_index: int = 0):
         """Fuses an external [H, W, 4] labeling into the current solution

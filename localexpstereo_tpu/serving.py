@@ -100,20 +100,25 @@ class StereoStream:
         for li, sz in enumerate(self.unit_sizes):
             solver.add_layer(sz, self._proposers(li))
 
+        # Device-resident frame loop: the labeling never round-trips the
+        # host link — run() returns device arrays, the warm start consumes
+        # them directly, and only the [H, W] disparity map is downloaded
+        # (the [H, W, 4] labeling is ~4x that, twice, per frame otherwise;
+        # the tunneled link makes that seconds).
         if self._prev_labeling is None:
             iters, pm = self.cold
             labeling, _ = solver.run(iterations=iters, view_modes=(0,),
-                                     pm_iterations=pm)
+                                     pm_iterations=pm, host_outputs=False)
         else:
             iters, pm = self.warm
             labeling, _ = solver.run(iterations=iters, view_modes=(0,),
                                      pm_iterations=pm,
                                      init_labeling=self._prev_labeling,
-                                     init_mode="cell")
+                                     init_mode="cell", host_outputs=False)
 
-        self._prev_labeling = np.asarray(labeling)
+        self._prev_labeling = labeling
         self.frame_index += 1
-        disp = np.asarray(plane_ops.disparity_map(jnp.asarray(labeling)))
+        disp = np.asarray(plane_ops.disparity_map(labeling))
         self.last_frame_seconds = time.perf_counter() - t0
         return disp
 
