@@ -884,7 +884,11 @@ class LocalExpansionSolver:
             self.evaluator.stop()
         self._state = state
         if host_outputs:
-            return np.asarray(final), np.asarray(raw)
+            final_h = np.asarray(final)
+            # Single-view runs return the same array twice — one D2H
+            # transfer, not two (the tunneled link makes each one count).
+            raw_h = final_h if raw is final else np.asarray(raw)
+            return final_h, raw_h
         return jnp.asarray(final), jnp.asarray(raw)
 
     def fuse(self, labeling, mode: int = 0, layer_index: int = 0):
