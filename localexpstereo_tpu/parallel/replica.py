@@ -273,8 +273,8 @@ class ReplicaSolver:
             # it slices to the true batch, excluding the padded wave tail).
             # Post-processed labels are scattered back into state so the
             # final evaluation sees them (engine.run semantics).
-            from .batch import BatchedSolver
-            ll, lr = BatchedSolver._post_process_batch(self, state, p, h, w)
+            from .batch import post_process_batch
+            ll, lr = post_process_batch(self, state, p, h, w)
             final = np.asarray(ll)
             state[0] = (state[0][0].at[:ll.shape[0], p:p + h,
                                        p:p + w].set(ll), state[0][1])
