@@ -39,25 +39,17 @@ from typing import List, Optional
 
 import numpy as np
 
-from .main import _apply_platform_flag
-
-_apply_platform_flag(None)
-
+# Importing .main FIRST applies the -platform flag at its module scope
+# (it runs _apply_platform_flag(None) on import, reading the same
+# sys.argv) — before any other package import can initialize a backend.
+from . import main as cli_main
 from ..config import PARAMS_GF, Options
 from ..models.evaluator import Evaluator
 from ..utils import datasets
-from . import main as cli_main
 
 
 def parse_args(argv: Optional[List[str]] = None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    norm = []
-    for a in argv:
-        if a.startswith("-") and not a.startswith("--") and len(a) > 2 \
-                and not a[1].isdigit():
-            norm.append("-" + a)
-        else:
-            norm.append(a)
+    norm = cli_main.normalize_argv(argv)
     ap = argparse.ArgumentParser(
         prog="localexpstereo_tpu-batch",
         description="TPU-native Local Expansion Stereo — multi-pair batch "
@@ -81,6 +73,26 @@ def parse_args(argv: Optional[List[str]] = None):
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
     return ap.parse_args(norm)
+
+
+def _dedupe_names(entries: List[dict]) -> None:
+    """Disambiguates duplicate leaf names (e.g. trainingH/X and
+    trainingQ/X) in place so per-dataset outputs never overwrite each
+    other: first by prefixing the parent directory, then by an index."""
+    leaf_counts: dict = {}
+    for e in entries:
+        leaf_counts[e["name"]] = leaf_counts.get(e["name"], 0) + 1
+    for e in entries:
+        if leaf_counts[e["name"]] > 1:
+            parent = os.path.basename(os.path.dirname(e["dir"].rstrip("/")))
+            if parent:
+                e["name"] = f"{parent}_{e['name']}"
+    seen: dict = {}
+    for e in entries:
+        n = seen.get(e["name"], 0)
+        seen[e["name"]] = n + 1
+        if n:
+            e["name"] = f"{e['name']}_{n}"
 
 
 def _expand_parent(parent: str) -> List[str]:
@@ -123,6 +135,7 @@ def run_batch(ns) -> dict:
         h, w = pair.im0.shape[:2]
         entries.append({"dir": d, "name": os.path.basename(d.rstrip("/")),
                         "pair": pair, "shape": (h, w, pair.ndisp)})
+    _dedupe_names(entries)
     groups: dict = {}
     for e in entries:
         groups.setdefault(e["shape"], []).append(e)

@@ -52,8 +52,9 @@ from ..models.evaluator import Evaluator
 from ..utils import acrt, datasets, pfm
 
 
-def parse_args(argv: Optional[List[str]] = None) -> Options:
-    # Accept the reference's single-dash long flags by normalizing to --.
+def normalize_argv(argv: Optional[List[str]]) -> List[str]:
+    """Accepts the reference's single-dash long flags by normalizing to --
+    (shared by the single-pair and batch CLIs)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     norm = []
     for a in argv:
@@ -62,6 +63,11 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
             norm.append("-" + a)
         else:
             norm.append(a)
+    return norm
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Options:
+    norm = normalize_argv(argv)
 
     ap = argparse.ArgumentParser(
         prog="localexpstereo_tpu",
@@ -174,6 +180,16 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
             fuse_with.append({m: np.asarray(
                 aux._unpadded_labeling(aux._state, m)) for m in modes})
             print(f"fuseSeeds: solved auxiliary seed {opt.seed + i}")
+        if opt.warmup:
+            # Precompile the fusion path as well (fusion_color_step per
+            # layer/mode + the warm-start unary chunks) on the throwaway
+            # precompile state, keeping time.txt pure optimization time.
+            from ..models.engine import init_from_labeling
+            for m in modes:
+                ext = init_from_labeling(solver.data, solver.cfg,
+                                         fuse_with[0][m], m)
+                solver._fuse_layers(
+                    *ext, m, tuple(reversed(range(len(solver.layers)))))
     solver.set_evaluator(ev)
     labeling, raw = solver.run(opt.iterations, modes, opt.pm_iterations,
                                fuse_with=fuse_with)

@@ -844,15 +844,28 @@ class LocalExpansionSolver:
 
         if fuse_with:
             self._state = state
+            all_layers = tuple(reversed(range(len(self.layers))))
             for ext in fuse_with:
                 for mode in view_modes:
                     lab_ext = (ext.get(mode) if isinstance(ext, dict)
                                else (ext if mode == 0 else None))
                     if lab_ext is None:
                         continue
-                    for li in reversed(range(len(self.layers))):
-                        self.fuse(lab_ext, mode=mode, layer_index=li)
+                    # One per-pixel unary evaluation per (entry, mode); the
+                    # layer loop reuses it (init_from_labeling is the
+                    # expensive chunked host loop).
+                    ext_lab_m, ext_cost_m = init_from_labeling(
+                        self.data, cfg, np.asarray(lab_ext, np.float32),
+                        mode)
+                    self._fuse_layers(ext_lab_m, ext_cost_m, mode,
+                                      all_layers)
             state = self._state
+            if len(view_modes) == 1:
+                # Dual-view runs re-evaluate after the post-process below;
+                # single-view runs need their own post-fusion row so the
+                # log's last entry matches the shipped labeling.
+                self._evaluate(state, view_modes[0],
+                               index=iterations + 1 + pm_iterations)
 
         raw = self._unpadded_labeling(state, 0)
         if len(view_modes) == 2:
@@ -907,19 +920,28 @@ class LocalExpansionSolver:
         assert hasattr(self, "_state"), "fuse() requires a completed run()"
         ext_lab_m, ext_cost_m = init_from_labeling(
             self.data, self.cfg, np.asarray(labeling, np.float32), mode)
-        layer = self.layers[layer_index]
-        labeling_m, cost_m = self._state[mode]
-        for (i0, j0) in layer.colors:
-            ox, oy, rmask = layer.color_regions(i0, j0)
-            cox, coy = layer.canvas_origin(i0, j0)
-            labeling_m, cost_m = fusion_color_step(
-                self.data, self.cfg, labeling_m, cost_m, ext_lab_m,
-                ext_cost_m, jnp.asarray(ox), jnp.asarray(oy),
-                jnp.asarray(rmask), jnp.int32(cox), jnp.int32(coy),
-                unit_size=layer.unit_size, nbx=layer.nbx, nby=layer.nby,
-                mode=mode)
-        self._state[mode] = (labeling_m, cost_m)
+        self._fuse_layers(ext_lab_m, ext_cost_m, mode, (layer_index,))
         return np.asarray(self._unpadded_labeling(self._state, mode))
+
+    def _fuse_layers(self, ext_lab_m, ext_cost_m, mode: int,
+                     layer_indices):
+        """Fusion sweeps of the current state against a PRE-EVALUATED
+        external state at each listed layer (shared by :meth:`fuse` and
+        ``run(fuse_with=...)`` so the per-pixel unary evaluation happens
+        once per external labeling, not once per layer)."""
+        labeling_m, cost_m = self._state[mode]
+        for li in layer_indices:
+            layer = self.layers[li]
+            for (i0, j0) in layer.colors:
+                ox, oy, rmask = layer.color_regions(i0, j0)
+                cox, coy = layer.canvas_origin(i0, j0)
+                labeling_m, cost_m = fusion_color_step(
+                    self.data, self.cfg, labeling_m, cost_m, ext_lab_m,
+                    ext_cost_m, jnp.asarray(ox), jnp.asarray(oy),
+                    jnp.asarray(rmask), jnp.int32(cox), jnp.int32(coy),
+                    unit_size=layer.unit_size, nbx=layer.nbx,
+                    nby=layer.nby, mode=mode)
+        self._state[mode] = (labeling_m, cost_m)
 
     # ------------------------------------------------------------ helpers --
 

@@ -298,9 +298,13 @@ def completion_labeling(labeling, image, block: int = 48,
             tx = xs[y0:y1, x0:x1].ravel()
             ty = ys[y0:y1, x0:x1].ravel()
             td = d[y0:y1, x0:x1].ravel()
-            tw = conf[y0:y1, x0:x1].ravel().copy()
-            if not np.any(tw > 0):
-                tw[:] = 1.0
+            base_w = conf[y0:y1, x0:x1].ravel().copy()
+            if not np.any(base_w > 0):
+                # Fully textureless tile: fall back to uniform weights for
+                # EVERY round (reweighting from zero confidence would
+                # collapse the fit to the zero plane).
+                base_w = np.ones_like(base_w)
+            tw = base_w.copy()
             # Center coordinates for conditioning (cf. ransac()).
             cx_, cy_ = tx.mean(), ty.mean()
             a_mat = np.stack([tx - cx_, ty - cy_, np.ones_like(tx)], -1)
@@ -314,7 +318,7 @@ def completion_labeling(labeling, image, block: int = 48,
                 except np.linalg.LinAlgError:  # pragma: no cover
                     p = np.array([0.0, 0.0, float(np.median(td))])
                 resid = a_mat @ p - td
-                tw = conf[y0:y1, x0:x1].ravel() / (1.0 + resid ** 2)
+                tw = base_w / (1.0 + resid ** 2)
             a, b = p[0], p[1]
             c = p[2] - a * cx_ - b * cy_
             out[y0:y1, x0:x1, 0] = a

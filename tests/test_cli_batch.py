@@ -70,3 +70,15 @@ def test_batch_driver_groups_and_outputs(tmp_path):
                     ).read().strip().splitlines()
         assert rows[0].startswith("Time\t") and len(rows) >= 3
         assert float(open(out / name / "time.txt").read()) >= 0.0
+
+
+def test_dedupe_names():
+    entries = [{"dir": "/d/trainingH/Adirondack", "name": "Adirondack"},
+               {"dir": "/d/trainingQ/Adirondack", "name": "Adirondack"},
+               {"dir": "/d/trainingH/ArtL", "name": "ArtL"}]
+    cli_batch._dedupe_names(entries)
+    names = [e["name"] for e in entries]
+    assert len(set(names)) == 3
+    assert "trainingH_Adirondack" in names
+    assert "trainingQ_Adirondack" in names
+    assert "ArtL" in names

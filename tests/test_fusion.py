@@ -309,3 +309,20 @@ def test_cli_fuse_seeds_flag():
     assert cli.parse_args(["-mode", "MiddV2", "-fuseSeeds", "3"]
                           ).fuse_seeds == 3
     assert cli.parse_args(["-mode", "MiddV2"]).fuse_seeds == 0
+
+
+def test_completion_labeling_fully_textureless_tile_keeps_fit():
+    """A tile with a perfectly constant image must fall back to uniform
+    weights in EVERY IRLS round (regression: reweighting from zero
+    confidence collapsed the fit to the zero plane)."""
+    from localexpstereo_tpu.models import proposals
+
+    h, w = 32, 32
+    a, b, c = 0.02, 0.01, 4.0
+    lab = np.zeros((h, w, 4), np.float32)
+    lab[..., 0], lab[..., 1], lab[..., 2] = a, b, c
+    img = np.full((h, w, 3), 127.0, np.float32)   # zero texture everywhere
+    ext = proposals.completion_labeling(lab, img, block=32)
+    np.testing.assert_allclose(ext[..., 0], a, atol=1e-3)
+    np.testing.assert_allclose(ext[..., 1], b, atol=1e-3)
+    np.testing.assert_allclose(ext[..., 2], c, atol=5e-2)

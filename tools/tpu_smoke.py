@@ -123,7 +123,8 @@ def check_engine_tiny():
     import numpy as np
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.models.engine import (
-        LocalExpansionSolver, LAYER0_PROPOSERS, COARSE_PROPOSERS)
+        LocalExpansionSolver, LAYER0_PROPOSERS, COARSE_PROPOSERS,
+        energy_audit)
 
     rng = np.random.default_rng(0)
     h, w, nd = 64, 96, 16
@@ -151,8 +152,13 @@ def check_engine_tiny():
             def stop(self):
                 pass
 
-            def evaluate(self, solver, labeling_m, cost_m, mode, index):
-                audit.append(float(np.asarray(cost_m).sum()))
+            def evaluate(self, sv, labeling_m, cost_m, mode, index):
+                # TOTAL energy: the GC guard only guarantees data+smooth
+                # monotonicity (a move may raise the unary sum while the
+                # pairwise term falls more).
+                audit.append(float(energy_audit(sv.data, sv.cfg,
+                                                labeling_m, cost_m,
+                                                mode)[0]))
 
             def save_consistency(self, *a, **k):
                 pass
