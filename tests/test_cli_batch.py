@@ -82,3 +82,35 @@ def test_dedupe_names():
     assert "trainingH_Adirondack" in names
     assert "trainingQ_Adirondack" in names
     assert "ArtL" in names
+
+
+@pytest.mark.slow
+def test_batch_driver_midv2_mode(tmp_path):
+    """MiddV2 batch (image-based data term, no volumes) through the
+    ReplicaSolver path: same-shape scenes group and produce artifacts.
+    GT-less datasets must run (bad-rate columns become nan)."""
+    import cv2
+    rng = np.random.default_rng(0)
+    h, w, nd = 40, 64, 8
+    dirs = []
+    for name in ("a", "b"):
+        d = tmp_path / name
+        d.mkdir()
+        im = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / "im0.png"), im)
+        cv2.imwrite(str(d / "im1.png"), im)
+        with open(d / "info.txt", "w") as f:
+            f.write(f"4\n{nd}\n")
+        dirs.append(str(d))
+
+    out = tmp_path / "out"
+    ns = cli_batch.parse_args(
+        ["-mode", "MiddV2", "-targetDirs"] + dirs +
+        ["-outputDir", str(out), "-iterations", "1", "-pmIterations", "1",
+         "-warmup", "0"])
+    summary = cli_batch.run_batch(ns)
+    assert summary["groups"][0]["batch"] == 2
+    for name in ("a", "b"):
+        disp = pfm.read_pfm(str(out / name / "disp0.pfm"))
+        assert disp.shape == (h, w)
+        assert np.isfinite(disp).all()
