@@ -170,11 +170,13 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
         if vol_transform is None:
             # Trailing alignment padding for the DMA sampler
             # (ops/unary_pallas.py): HBM slice starts/shapes must align to
-            # the (8, 128) tiling, so clamped aligned-superset windows need
-            # H % 8 == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
+            # the dtype's VMEM tiling — (8, 128) for f32/bf16, (32, 128)
+            # for uint8 — so clamped aligned-superset windows need
+            # H % sub == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
+            sub = 32 if vol_host.dtype == np.uint8 else 8
             hv, wv = vol_host.shape[2:]
             vol_host = np.pad(vol_host,
-                              ((0, 0), (0, 0), (0, (-hv) % 8 + 8),
+                              ((0, 0), (0, 0), (0, (-hv) % sub + sub),
                                (0, (-wv) % 128 + 128)))
         if vol_transform is not None:
             # Sharded placement hook (parallel/volume.py): receives the
@@ -294,8 +296,9 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
             vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
                 jnp.dtype(vol_dtype))
         hv0, wv0 = h + 2 * vp, w + 2 * vp
+        sub = 32 if vol.dtype == jnp.uint8 else 8
         vol = jnp.pad(vol, ((0, 0), (0, 0),
-                            (vp, vp + (-hv0) % 8 + 8),
+                            (vp, vp + (-hv0) % sub + sub),
                             (vp, vp + (-wv0) % 128 + 128)))
         if params.filter_name in ("GF", "GFfloat"):
             st = jnp.stack(stacks)
@@ -705,7 +708,8 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 cfg.vol_pad, f=fsize, height=cfg.height, width=cfg.width,
                 min_disp=cfg.min_disp, th_col=cfg.params.th_col,
                 stats=data.gf_stack[mode] if fused_gf else None,
-                r_gf=r if fused_gf else 0)
+                r_gf=r if fused_gf else 0,
+                scale=cfg.vol_scale, zero=cfg.vol_zero)
         elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,

@@ -170,12 +170,12 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # row) is the way to make it win; until then "auto" = XLA.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
                    and cfg.unary_backend == "dma"
-                   and jnp.dtype(data.vol.dtype) != jnp.uint8
                    and jax.default_backend() == "tpu")
     fused_gf = False
     if use_vol_dma:
         f_win = ss + 2 * cfg.params.guided_radius   # unary_windows' fsize
-        fr = (f_win + 7) // 8 * 8 + 8
+        sub_ = 32 if jnp.dtype(data.vol.dtype) == jnp.uint8 else 8
+        fr = (f_win + sub_ - 1) // sub_ * sub_ + sub_
         fc = (f_win + 127) // 128 * 128 + 128
         d_ = int(data.vol.shape[1])
         itemsize = jnp.dtype(data.vol.dtype).itemsize

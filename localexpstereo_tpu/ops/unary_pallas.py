@@ -82,7 +82,8 @@ def _box2d(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
                  rb: int, d0_off: float, th_col: float,
-                 height: int, width: int, r_gf: int = 0):
+                 height: int, width: int, r_gf: int = 0,
+                 sub: int = 8, scale: float = 1.0, zero: float = 0.0):
     """Kernel factory. ``r_gf = 0``: raw tent-sampled cost windows.
     ``r_gf > 0``: additionally guided-filters each window in VMEM using the
     DMA'd global-stats slab (guide 3 + mean 3 + inv-cov 6 channels), fusing
@@ -106,10 +107,12 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             # dy <= fr - f and dx <= fc - f hold by construction.
             oy = oyv_ref[base + ridx]
             ox = oxv_ref[base + ridx]
-            # The trailing multiply keeps the 8/128-divisibility of the DMA
-            # start provable for Mosaic (hv % 8 == 0 and fr % 8 == 0, so
-            # (hv - fr) // 8 is exact; likewise for lanes).
-            oy_al = jnp.minimum(oy // 8, (hv - fr) // 8) * 8
+            # The trailing multiply keeps the sub/128-divisibility of the
+            # DMA start provable for Mosaic (hv % sub == 0 and fr % sub ==
+            # 0, so (hv - fr) // sub is exact; likewise for lanes). ``sub``
+            # is the sublane tile of the volume dtype: 8 for f32/bf16, 32
+            # for the uint8-quantized volume ((32, 128) tiling).
+            oy_al = jnp.minimum(oy // sub, (hv - fr) // sub) * sub
             ox_al = jnp.minimum(ox // 128, (wv - fc) // 128) * 128
             return oy_al, ox_al, oy - oy_al, ox - ox_al
 
@@ -176,6 +179,12 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             dv = jnp.clip(d_r + d0_off, 0.0, float(d_ - 1))
             tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
             cost_r = jnp.sum(win * tent, axis=0)
+            if scale != 1.0 or zero != 0.0:
+                # Quantized (uint8) volume decode, folded AFTER the tent
+                # contraction: the reduction is linear in the slab and the
+                # tent weights sum to 1 (incl. clamped end slices), so
+                # sum((q*s + z) * tent) == s * sum(q * tent) + z exactly.
+                cost_r = cost_r * scale + zero
             cost = cost_r[0:f]
             for k in range(1, fr - f + 1):
                 cost = jnp.where(dy == k, cost_r[k:k + f], cost)
@@ -229,20 +238,25 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
 
 @functools.partial(jax.jit, static_argnames=("f", "height", "width",
                                              "min_disp", "th_col", "r_gf",
-                                             "rb", "interpret"))
+                                             "rb", "scale", "zero",
+                                             "interpret"))
 def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
                        fox: jnp.ndarray, foy: jnp.ndarray, row_base,
                        col_base, *, f: int, height: int, width: int,
                        min_disp: float, th_col: float,
                        stats: jnp.ndarray = None, r_gf: int = 0,
-                       rb: int = _RB,
+                       rb: int = _RB, scale: float = 1.0,
+                       zero: float = 0.0,
                        interpret: bool = False) -> jnp.ndarray:
     """Unary cost windows sampled straight from the HBM volume — raw, or
     guided-filtered in the same VMEM pass when ``stats``/``r_gf`` are given.
 
     Args:
       vol: [D, Hv, Wv] PADDED volume (image pixel (x, y) at array
-        [y + row_base, x + col_base]); any float dtype.
+        [y + row_base, x + col_base]); any float dtype, or uint8 with
+        ``scale``/``zero`` quantization (decode is folded after the tent
+        contraction; uint8 needs Hv % 32 == 0 for its (32, 128) tiling —
+        ``build_energy`` pads accordingly).
       proposals: [N, 4] planes; fox, foy: [N] window origins in IMAGE coords
         (may be negative — the padding guarantees array-coord slices are
         in bounds, ``grid.required_volume_padding``).
@@ -272,12 +286,14 @@ def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
     gy0 = padn(foy.astype(jnp.float32))
 
     hv, wv = vol.shape[1], vol.shape[2]
-    fr = min((f + 7) // 8 * 8 + 8, hv)
+    sub = 32 if jnp.dtype(vol.dtype) == jnp.uint8 else 8
+    fr = min((f + sub - 1) // sub * sub + sub, hv)
     fc = min((f + 127) // 128 * 128 + 128, wv)
-    assert hv % 8 == 0 and wv % 128 == 0, \
+    assert hv % sub == 0 and wv % 128 == 0, \
         "volume needs DMA alignment padding (build_energy appends it)"
     kernel = _make_kernel(d_, f, fr, fc, hv, wv, rb, float(-min_disp),
-                          float(th_col), height, width, r_gf=r_gf)
+                          float(th_col), height, width, r_gf=r_gf,
+                          sub=sub, scale=float(scale), zero=float(zero))
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [pltpu.VMEM((2, d_, fr, fc), vol.dtype)]
     operands = [vol]

@@ -121,3 +121,38 @@ def test_dma_fused_gf_matches_filter_windows():
     got_m = np.where(support, np.asarray(got), 0.0)
     want_m = np.where(support, np.asarray(want), 0.0)
     np.testing.assert_allclose(got_m, want_m, rtol=2e-4, atol=2e-4)
+
+
+def test_dma_sampler_uint8_volume_exact_decode():
+    """uint8-quantized volume through the DMA kernel == XLA slab oracle
+    with the same scale/zero decode (the decode folds after the tent
+    contraction exactly; uint8 uses the (32, 128) tiling, so build_energy
+    pads H to a 32-multiple)."""
+    rng = np.random.default_rng(2)
+    d, h, w, vp, n, f = 7, 22, 30, 9, 9, 6
+    tau = 0.5
+    scale = 2.0 * tau / 255.0
+    volf = rng.random((d, h + 2 * vp, w + 2 * vp), np.float32)
+    volq = np.clip(np.rint(volf / scale), 0, 255).astype(np.uint8)
+    volq = np.pad(volq, ((0, 0), (0, (-volq.shape[1]) % 32 + 32),
+                         (0, (-volq.shape[2]) % 128 + 128)))
+    props = np.stack([rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
+                      rng.uniform(0, d - 1, n), np.zeros(n)],
+                     -1).astype(np.float32)
+    fox = rng.integers(-4, w - 3, n).astype(np.int32)
+    foy = rng.integers(-4, h - 3, n).astype(np.int32)
+
+    got = unary_pallas.sample_windows_dma(
+        jnp.asarray(volq), jnp.asarray(props), jnp.asarray(fox),
+        jnp.asarray(foy), vp, vp, f=f, height=h, width=w, min_disp=0.0,
+        th_col=tau, rb=4, scale=scale, zero=0.0, interpret=True)
+
+    def one_slab(x0, y0):
+        return volq[:, y0 + vp:y0 + vp + f, x0 + vp:x0 + vp + f]
+
+    slabs = jnp.asarray(np.stack([one_slab(x, y) for x, y in zip(fox, foy)]))
+    want = unary_volume.sample_slabs_aligned(
+        slabs, jnp.asarray(props), jnp.asarray(fox), jnp.asarray(foy),
+        h, w, min_disp=0.0, th_col=tau, scale=scale, zero=0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

@@ -69,6 +69,7 @@ def check_dma():
     import jax.numpy as jnp
     for name, fn in (("dma_f32", lambda: cdk.check(jnp.float32)),
                      ("dma_bf16", lambda: cdk.check(jnp.bfloat16)),
+                     ("dma_uint8", cdk.check_uint8),
                      ("dma_fused_gf", cdk.check_fused_gf)):
         try:
             fn()
