@@ -26,6 +26,12 @@ from ..config import COST_FOR_INVALID, Parameters
 from ..ops import (guided, pairwise, unary_pallas, unary_volume, unary_warp,
                    validity, windows)
 
+#: Test hook: when True, the engine's DMA-backend gates accept non-TPU
+#: backends and the Pallas samplers run in interpret mode, so CI (CPU)
+#: can exercise the "dma"/"dma_rows" integration end-to-end. Set by
+#: tests only; production leaves it False.
+DMA_INTERPRET = False
+
 
 class EnergyData(NamedTuple):
     """Constant tensors; leading axis V = views (L, R). Spatial arrays that
@@ -67,7 +73,9 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
-    unary_backend: str = "auto"   # "auto" (= xla) | "xla" | "dma" (opt-in TPU DMA kernel)
+    unary_backend: str = "auto"   # "auto" (= xla) | "xla" | "dma" (opt-in
+    # per-region TPU DMA kernel) | "dma_rows" (opt-in strip-mined rows
+    # kernel — one DMA per region row of the regular color grid)
     #: V3 slab/GF window layout. "auto" (= "rm") keeps region-major
     #: [N, D, F, F]; "rl" opts into region-on-lanes [D, F, F, N]. The rl
     #: layout was built on the lane-waste hypothesis (F = 62 pads to 128
@@ -174,10 +182,15 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             # for uint8 — so clamped aligned-superset windows need
             # H % sub == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
             sub = 32 if vol_host.dtype == np.uint8 else 8
+            # uint8 gets an extra lane tile of slack: the strip-mined rows
+            # kernel (sample_windows_dma_rows) clamps its row-strip start
+            # down by up to 2 tiles, so it needs +256 beyond the row
+            # extent; the per-region kernel only needs +128.
+            lane_pad = 256 if sub == 32 else 128
             hv, wv = vol_host.shape[2:]
             vol_host = np.pad(vol_host,
                               ((0, 0), (0, 0), (0, (-hv) % sub + sub),
-                               (0, (-wv) % 128 + 128)))
+                               (0, (-wv) % 128 + lane_pad)))
         if vol_transform is not None:
             # Sharded placement hook (parallel/volume.py): receives the
             # padded host volume, returns the device layout (e.g. overlapped
@@ -297,9 +310,10 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
                 jnp.dtype(vol_dtype))
         hv0, wv0 = h + 2 * vp, w + 2 * vp
         sub = 32 if vol.dtype == jnp.uint8 else 8
+        lane_pad = 256 if sub == 32 else 128
         vol = jnp.pad(vol, ((0, 0), (0, 0),
                             (vp, vp + (-hv0) % sub + sub),
-                            (vp, vp + (-wv0) % 128 + 128)))
+                            (vp, vp + (-wv0) % 128 + lane_pad)))
         if params.filter_name in ("GF", "GFfloat"):
             st = jnp.stack(stacks)
             gf_stack = jnp.pad(st, ((0, 0), (0, 0),
@@ -672,7 +686,8 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   proposals: jnp.ndarray, ox: jnp.ndarray, oy: jnp.ndarray,
                   target_off: int, target_size: int,
                   stat_windows=None, vol_slabs=None,
-                  exi_slabs=None, vol_dma: bool = False) -> jnp.ndarray:
+                  exi_slabs=None, vol_dma: bool = False,
+                  vol_dma_rows=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -695,10 +710,25 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     fox = ox + foff
     foy = oy + foff
 
-    fused_gf = (vol_dma and data.gf_stack is not None
+    fused_gf = ((vol_dma or vol_dma_rows is not None)
+                and data.gf_stack is not None
                 and cfg.params.filter_name in ("GF", "GFfloat"))
     if cfg.kind == "volume":
-        if vol_dma:
+        if vol_dma_rows is not None:
+            # Strip-mined rows kernel: one DMA per region row of the
+            # regular color grid; ``vol_dma_rows`` = (nbx, nby, stride).
+            nbx_, nby_, stride_ = vol_dma_rows
+            raw = unary_pallas.sample_windows_dma_rows(
+                data.vol[mode], proposals, fox[0], foy[::nbx_],
+                cfg.vol_pad, cfg.vol_pad, f=fsize, height=cfg.height,
+                width=cfg.width, min_disp=cfg.min_disp,
+                th_col=cfg.params.th_col, nbx=nbx_, nby=nby_,
+                stride=stride_,
+                stats=data.gf_stack[mode] if fused_gf else None,
+                r_gf=r if fused_gf else 0,
+                scale=cfg.vol_scale, zero=cfg.vol_zero,
+                interpret=DMA_INTERPRET)
+        elif vol_dma:
             # Fused HBM-window-gather + tent kernel (ops/unary_pallas.py):
             # no hoisted slab array, traffic = exactly the window bytes.
             # With fused_gf the guided filter runs in the same VMEM pass,
@@ -709,7 +739,8 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 min_disp=cfg.min_disp, th_col=cfg.params.th_col,
                 stats=data.gf_stack[mode] if fused_gf else None,
                 r_gf=r if fused_gf else 0,
-                scale=cfg.vol_scale, zero=cfg.vol_zero)
+                scale=cfg.vol_scale, zero=cfg.vol_zero,
+                interpret=DMA_INTERPRET)
         elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,

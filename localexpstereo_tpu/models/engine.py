@@ -170,22 +170,41 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # row) is the way to make it win; until then "auto" = XLA.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
                    and cfg.unary_backend == "dma"
-                   and jax.default_backend() == "tpu")
+                   and (jax.default_backend() == "tpu"
+                        or energy_mod.DMA_INTERPRET))
+    # Strip-mined variant ("dma_rows"): one DMA per region ROW of the
+    # regular color grid — ~4-5x less aligned-superset overfetch than the
+    # per-region kernel at the fine layer (ops/unary_pallas.py).
+    use_vol_rows = (cfg.kind == "volume" and cfg.interp == 1 and not local
+                    and cfg.unary_backend == "dma_rows"
+                    and (jax.default_backend() == "tpu"
+                         or energy_mod.DMA_INTERPRET))
     fused_gf = False
-    if use_vol_dma:
+    if use_vol_dma or use_vol_rows:
         f_win = ss + 2 * cfg.params.guided_radius   # unary_windows' fsize
         sub_ = 32 if jnp.dtype(data.vol.dtype) == jnp.uint8 else 8
         fr = (f_win + sub_ - 1) // sub_ * sub_ + sub_
-        fc = (f_win + 127) // 128 * 128 + 128
         d_ = int(data.vol.shape[1])
         itemsize = jnp.dtype(data.vol.dtype).itemsize
         fused_gf = (data.gf_stack is not None
                     and cfg.params.filter_name in ("GF", "GFfloat"))
-        slab_bytes = 2 * d_ * fr * fc * itemsize
-        if fused_gf:
-            slab_bytes += 2 * 12 * fr * fc * 4
-        use_vol_dma = slab_bytes <= 80 * 1024 * 1024
-        fused_gf = fused_gf and use_vol_dma
+        if use_vol_rows:
+            wv_ = int(data.vol.shape[3])
+            extent = (nbx - 1) * t4 + f_win + 256
+            wc = (extent + 127) // 128 * 128
+            slab_bytes = 2 * d_ * fr * wc * itemsize
+            if fused_gf:
+                slab_bytes += 2 * 12 * fr * wc * 4
+            use_vol_rows = (wc <= wv_
+                            and slab_bytes <= 100 * 1024 * 1024)
+            fused_gf = fused_gf and use_vol_rows
+        else:
+            fc = (f_win + 127) // 128 * 128 + 128
+            slab_bytes = 2 * d_ * fr * fc * itemsize
+            if fused_gf:
+                slab_bytes += 2 * 12 * fr * fc * 4
+            use_vol_dma = slab_bytes <= 80 * 1024 * 1024
+            fused_gf = fused_gf and use_vol_dma
     # Region-on-lanes layout for the V3 slab+GF pipeline ([D, F, F, N]
     # windows, region index on the 128 vector lanes — the fused min-cut
     # kernel's trick). OPT-IN ("rl"), not the default: the A/B on v5e
@@ -193,7 +212,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # region-major — XLA already tiles the trailing [F, F] dims well and
     # the layout transposes cost more than the lane fill saves.
     use_rl = (cfg.kind == "volume" and cfg.interp == 1 and not use_block
-              and not use_vol_dma
+              and not use_vol_dma and not use_vol_rows
               and cfg.params.filter_name in ("GF", "GFfloat", "")
               and cfg.unary_layout == "rl")
     if use_rl and not local:
@@ -222,7 +241,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
     if (cfg.kind == "volume" and cfg.interp == 1 and not use_block
-            and not use_vol_dma and not use_rl):
+            and not use_vol_dma and not use_vol_rows and not use_rl):
         n_regions = ox_u.shape[0]
         if local or energy_mod.volume_slab_bytes(
                 data, n_regions, ss,
@@ -271,10 +290,10 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 data, cfg, mode, props, coy_u, cox, s, nby_u, nbx, -s, ss,
                 stat_blocks, slab_block)
         else:
-            pcost = energy_mod.unary_windows(data, cfg, mode, props, ox_u,
-                                             oy_u, -s, ss, stat_windows,
-                                             vol_slabs, exi_slabs,
-                                             vol_dma=use_vol_dma)
+            pcost = energy_mod.unary_windows(
+                data, cfg, mode, props, ox_u, oy_u, -s, ss, stat_windows,
+                vol_slabs, exi_slabs, vol_dma=use_vol_dma,
+                vol_dma_rows=((nbx, nby_u, t4) if use_vol_rows else None))
         if step_active is not None:
             # Inactive steps (random-perturbation decay early-stop,
             # ``Proposer.h:149-152``) propose at COST_FOR_INVALID so nothing
@@ -611,7 +630,8 @@ class LocalExpansionSolver:
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
                  interp: int = 1, vol_dtype: str = "bfloat16",
-                 stats_backend: str = "host", unary_layout: str = "auto"):
+                 stats_backend: str = "host", unary_layout: str = "auto",
+                 unary_backend: str = "auto"):
         self.im0 = np.asarray(im0_bgr, np.float32)
         self.im1 = np.asarray(im1_bgr, np.float32)
         self.params = params
@@ -624,6 +644,7 @@ class LocalExpansionSolver:
         self.vol_dtype = vol_dtype
         self.stats_backend = stats_backend
         self.unary_layout = unary_layout
+        self.unary_backend = unary_backend
         self.seed = seed
         self.unit_sizes: List[int] = []
         self.layer_proposers: List[Tuple[str, ...]] = []
@@ -654,10 +675,14 @@ class LocalExpansionSolver:
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             stats_backend=self.stats_backend)
-        if self.unary_layout != "auto":
+        if self.unary_layout != "auto" or self.unary_backend != "auto":
             import dataclasses
-            self.cfg = dataclasses.replace(self.cfg,
-                                           unary_layout=self.unary_layout)
+            kw = {}
+            if self.unary_layout != "auto":
+                kw["unary_layout"] = self.unary_layout
+            if self.unary_backend != "auto":
+                kw["unary_backend"] = self.unary_backend
+            self.cfg = dataclasses.replace(self.cfg, **kw)
 
     # ------------------------------------------------------------- sweeps --
 
