@@ -191,7 +191,9 @@ def bench_primary(scale, iters, pm_iters):
     solver = LocalExpansionSolver(img, img, params, max_disp=float(nd - 1),
                                   vol0=vol, vol1=vol, seed=0,
                                   vol_dtype=os.environ.get(
-                                      "BENCH_VOL_DTYPE", "uint8"))
+                                      "BENCH_VOL_DTYPE", "uint8"),
+                                  unary_backend=os.environ.get(
+                                      "BENCH_UNARY_BACKEND", "auto"))
     solver.add_layer(max(1, int(w * 0.01)), LAYER0_PROPOSERS)
     solver.add_layer(max(1, int(w * 0.03)), COARSE_PROPOSERS)
     solver.add_layer(max(1, int(w * 0.09)), COARSE_PROPOSERS)
