@@ -94,6 +94,8 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     # deviation bound tau/255 per sample (tests/test_uint8_volume.py).
     ap.add_argument("--volPrecision", default="uint8",
                     choices=["uint8", "bfloat16", "float32"])
+    ap.add_argument("--unaryBackend", default="auto",
+                    choices=["auto", "xla", "dma", "dma_rows"])
     # -warmup 1 (default) precompiles the schedule's executables before the
     # evaluator's timer starts, so time.txt is pure optimization time like
     # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.
@@ -116,7 +118,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
         seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
         vol_precision=ns.volPrecision, platform=ns.platform,
-        fuse_seeds=ns.fuseSeeds)
+        fuse_seeds=ns.fuseSeeds, unary_backend=ns.unaryBackend)
 
 
 def print_options(opt: Options):
@@ -141,7 +143,8 @@ def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
         solver = LocalExpansionSolver(
             pair.im0, pair.im1, params, pair.max_disparity,
             vol0=vols[0], vol1=vols[1], seed=opt.seed,
-            vol_dtype=opt.vol_precision)
+            vol_dtype=opt.vol_precision,
+            unary_backend=opt.unary_backend)
     else:
         solver = LocalExpansionSolver(pair.im0, pair.im1, params,
                                       pair.max_disparity, seed=opt.seed)

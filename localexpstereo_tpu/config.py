@@ -85,6 +85,11 @@ class Options:
     #: quantization over [0, 2*mc_threshold], -17% s/frame vs bf16 on the
     #: halfH bench with a tau/255 per-sample bound (-volPrecision).
     vol_precision: str = "uint8"
+    #: V3 unary sampling backend (-unaryBackend): "auto" (XLA slab hoist) |
+    #: "xla" | "dma" (per-region TPU DMA kernel) | "dma_rows" (strip-mined
+    #: one-DMA-per-region-row kernel). The DMA backends only engage on the
+    #: real TPU and fall back to XLA when their VMEM gates fail.
+    unary_backend: str = "auto"
     warmup: int = 1  # precompile executables before the timed run (time.txt
                      # then measures pure optimization, TimeStamper semantics)
     #: N > 1 runs N - 1 extra solves (seed+1 .. seed+N-1) and fusion-moves
