@@ -63,7 +63,7 @@ class StereoStream:
                  cold_iterations: int = 5, cold_pm_iterations: int = 2,
                  warm_iterations: int = 1, warm_pm_iterations: int = 0,
                  vol_dtype: str = "uint8",
-                 stats_backend: str = "device"):
+                 stats_backend: str = "device", profile: bool = False):
         self.params = params
         self.max_disp = float(max_disp)
         self.min_disp = float(min_disp)
@@ -74,9 +74,14 @@ class StereoStream:
         self.warm = (warm_iterations, warm_pm_iterations)
         self.vol_dtype = vol_dtype
         self.stats_backend = stats_backend
+        #: True adds per-stage host syncs so ``last_timings`` splits the
+        #: frame into build/solve/output walls — syncs serialize dispatch
+        #: against execution, so leave False in production streams.
+        self.profile = profile
         self.frame_index = 0
         self.last_frame_seconds: Optional[float] = None
-        self._prev_labeling: Optional[np.ndarray] = None
+        self.last_timings: Optional[dict] = None
+        self._prev_labeling = None
 
     def _proposers(self, li: int):
         if self.layer_proposers is not None:
@@ -99,6 +104,14 @@ class StereoStream:
             vol_dtype=self.vol_dtype, stats_backend=self.stats_backend)
         for li, sz in enumerate(self.unit_sizes):
             solver.add_layer(sz, self._proposers(li))
+        # Per-stage walls for the steady-state profile (``last_timings``):
+        # energy build (per-frame GF stats/coeffs/volume quantize on
+        # device), the solve itself, and the output D2H.
+        t_build = None
+        if self.profile:
+            solver.finalize()
+            jax.block_until_ready(solver.data)
+            t_build = time.perf_counter()
 
         # Device-resident frame loop: the labeling never round-trips the
         # host link — run() returns device arrays, the warm start consumes
@@ -118,8 +131,16 @@ class StereoStream:
 
         self._prev_labeling = labeling
         self.frame_index += 1
+        if self.profile:
+            jax.block_until_ready(labeling)
+            t_solve = time.perf_counter()
         disp = np.asarray(plane_ops.disparity_map(labeling))
-        self.last_frame_seconds = time.perf_counter() - t0
+        t_end = time.perf_counter()
+        self.last_frame_seconds = t_end - t0
+        if self.profile:
+            self.last_timings = {"build_s": round(t_build - t0, 4),
+                                 "solve_s": round(t_solve - t_build, 4),
+                                 "output_s": round(t_end - t_solve, 4)}
         return disp
 
     def reset(self):
