@@ -135,11 +135,43 @@ def print_options(opt: Options):
         print(f"{name:<15}: {val}")
 
 
-def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
+def _solver_params(opt: Options, have_vols: bool):
     params = PARAMS_GF.replace(
         windR=opt.filter_radius, lambda_=opt.resolve_smooth_weight())
-    if vols is not None:
+    if have_vols:
         params = params.replace(th_col=opt.mc_threshold)
+    return params
+
+
+def _make_batch_aux(pair, opt: Options, layers, vols=None):
+    """Factory for the mesh-parallel -fuseSeeds auxiliary solves: k extra
+    seeds as ONE ReplicaSolver batch (one pair per chip; pair b is
+    bit-identical to LocalExpansionSolver(seed=first_seed+b)). On a k-chip
+    mesh the auxiliary solves cost ~one solve of wall clock."""
+    def make(first_seed: int, k: int):
+        import jax
+        from ..parallel import mesh as mesh_mod
+        from ..parallel.replica import ReplicaSolver
+        devices = jax.devices()
+        m = mesh_mod.make_mesh((len(devices),), ("data",), devices)
+        ims0 = np.repeat(pair.im0[None], k, 0)
+        ims1 = np.repeat(pair.im1[None], k, 0)
+        kw = {}
+        if vols is not None:
+            kw["vols0"] = np.repeat(vols[0][None], k, 0)
+            kw["vols1"] = np.repeat(vols[1][None], k, 0)
+        return ReplicaSolver(
+            ims0, ims1, _solver_params(opt, vols is not None),
+            pair.max_disparity, mesh=m, unit_sizes=list(layers),
+            seed=first_seed, vol_dtype=opt.vol_precision,
+            unary_backend=(opt.unary_backend if opt.unary_backend != "auto"
+                           else None), **kw)
+    return make
+
+
+def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
+    params = _solver_params(opt, vols is not None)
+    if vols is not None:
         solver = LocalExpansionSolver(
             pair.im0, pair.im1, params, pair.max_disparity,
             vol0=vols[0], vol1=vols[1], seed=opt.seed,
@@ -155,7 +187,8 @@ def _make_solver(pair: datasets.StereoPair, opt: Options, layers, vols=None):
 
 
 def _run(solver: LocalExpansionSolver, pair, opt: Options,
-         error_thresh: float, gt_precision: float, make_aux=None):
+         error_thresh: float, gt_precision: float, make_aux=None,
+         make_batch_aux=None):
     out_dir = opt.output_dir or "."
     debug_dir = os.path.join(out_dir, "debug")
     os.makedirs(debug_dir, exist_ok=True)
@@ -175,14 +208,29 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
     # executables) BEFORE the evaluator's timer starts; the fusion sweeps
     # themselves run inside the timed solve.
     fuse_with = None
-    if opt.fuse_seeds > 1 and make_aux is not None:
+    if opt.fuse_seeds > 1 and (make_aux or make_batch_aux):
+        import jax
         fuse_with = []
-        for i in range(1, opt.fuse_seeds):
-            aux = make_aux(opt.seed + i)
-            aux.run(opt.iterations, modes, opt.pm_iterations)
-            fuse_with.append({m: np.asarray(
-                aux._unpadded_labeling(aux._state, m)) for m in modes})
-            print(f"fuseSeeds: solved auxiliary seed {opt.seed + i}")
+        k = opt.fuse_seeds - 1
+        if len(jax.devices()) > 1 and make_batch_aux is not None:
+            # Mesh-parallel auxiliaries: one ReplicaSolver batch, one seed
+            # per chip — pair b bit-equals the serial solve with seed+1+b.
+            rs = make_batch_aux(opt.seed + 1, k)
+            rs.run(opt.iterations, modes, opt.pm_iterations)
+            p_, h_, w_ = rs.cfg.pad, rs.cfg.height, rs.cfg.width
+            for b in range(k):
+                fuse_with.append({m: np.asarray(
+                    rs._state[m][0][b, p_:p_ + h_, p_:p_ + w_])
+                    for m in modes})
+            print(f"fuseSeeds: solved {k} auxiliary seed(s) on "
+                  f"{len(jax.devices())} devices")
+        else:
+            for i in range(1, opt.fuse_seeds):
+                aux = make_aux(opt.seed + i)
+                aux.run(opt.iterations, modes, opt.pm_iterations)
+                fuse_with.append({m: np.asarray(
+                    aux._unpadded_labeling(aux._state, m)) for m in modes})
+                print(f"fuseSeeds: solved auxiliary seed {opt.seed + i}")
         if opt.warmup:
             # Precompile the fusion path as well (fusion_color_step per
             # layer/mode + the warm-start unary chunks) on the throwaway
@@ -220,7 +268,8 @@ def run_midv2(opt: Options):
                 gt_precision=pair.calib.gt_prec,
                 make_aux=lambda sd: _make_solver(
                     pair, dataclasses.replace(opt, seed=sd),
-                    layers=[5, 15, 25]))
+                    layers=[5, 15, 25]),
+                make_batch_aux=_make_batch_aux(pair, opt, [5, 15, 25]))
 
 
 def load_v3_volumes(target_dir: str, volume: str, pair: datasets.StereoPair):
@@ -298,7 +347,9 @@ def run_midv3(opt: Options):
     return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0,
                 make_aux=lambda sd: _make_solver(
                     pair, dataclasses.replace(opt, seed=sd), layers=layers,
-                    vols=(vol_l, vol_r)))
+                    vols=(vol_l, vol_r)),
+                make_batch_aux=_make_batch_aux(pair, opt, layers,
+                                               vols=(vol_l, vol_r)))
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -103,3 +103,53 @@ def test_midv3_end_to_end_acrt(tmp_path):
     rows = open(out / "debug" / "log_output.txt").read().strip().splitlines()
     eng = [float(r.split("\t")[1]) for r in rows[1:]]
     assert eng[2] <= eng[1] and eng[3] <= eng[2]
+
+
+@pytest.mark.slow
+def test_fuse_seeds_mesh_parallel_matches_serial(tmp_path):
+    """On a multi-device mesh the -fuseSeeds auxiliaries run as ONE
+    ReplicaSolver batch; each auxiliary labeling must bit-equal the serial
+    LocalExpansionSolver(seed + i) it replaces (test mesh = the forced
+    8-CPU-device conftest mesh)."""
+    import dataclasses
+    import cv2
+    import jax
+    from localexpstereo_tpu.utils import acrt
+
+    assert len(jax.devices()) > 1
+    rng = np.random.default_rng(0)
+    h, w, nd = 36, 64, 8
+    target = tmp_path / "scene"
+    target.mkdir()
+    im = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(target / "im0.png"), im)
+    cv2.imwrite(str(target / "im1.png"), im)
+    with open(target / "calib.txt", "w") as f:
+        f.write(f"width={w}\nheight={h}\nndisp={nd}\n")
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    truth = np.clip(0.05 * xs + 0.02 * ys + 2.0, 1, nd - 2)
+    d = np.arange(nd, dtype=np.float32)[:, None, None]
+    vol = np.minimum((d - truth[None]) ** 2 * 0.2, 1.0).astype(np.float32)
+    acrt.write_acrt(str(target / "im0.acrt"), vol)
+
+    opt = cli.parse_args(["-mode", "MiddV3", "-targetDir", str(target),
+                          "-iterations", "1", "-pmIterations", "1",
+                          "-volPrecision", "float32", "-fuseSeeds", "3"])
+    pair = cli.datasets.load_data(opt.target_dir, opt.ndisp)
+    vol_l, vol_r = cli.load_v3_volumes(opt.target_dir, opt.volume, pair)
+    layers = cli.v3_layers(w)
+
+    batch_aux = cli._make_batch_aux(pair, opt, layers, vols=(vol_l, vol_r))
+    rs = batch_aux(opt.seed + 1, 2)
+    rs.run(opt.iterations, (0,), opt.pm_iterations)
+    p_, hh, ww = rs.cfg.pad, rs.cfg.height, rs.cfg.width
+
+    for b in range(2):
+        aux = cli._make_solver(
+            pair, dataclasses.replace(opt, seed=opt.seed + 1 + b),
+            layers=layers, vols=(vol_l, vol_r))
+        aux.run(opt.iterations, (0,), opt.pm_iterations)
+        want = np.asarray(aux._unpadded_labeling(aux._state, 0))
+        got = np.asarray(rs._state[0][0][b, p_:p_ + hh, p_:p_ + ww])
+        np.testing.assert_array_equal(got, want)
