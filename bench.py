@@ -104,8 +104,10 @@ def _fail(msg, code):
            # tunneled device is unreachable at bench time (it wedged for
            # 7+ hours straight during round 3): commit 6b50199 measured
            # 14.865 s/frame with the uint8 default on the real v5e chip.
-           "last_measured_s": 14.865,
-           "last_measured_commit": "6b50199",
+           "last_hw_measurement": {
+               "s_per_frame": 14.865, "commit": "6b50199",
+               "note": "HISTORICAL round-3 on-device measurement, NOT a "
+                       "result of this bench run"},
            "elapsed_s": round(time.time() - T0, 1)})
     os._exit(code)
 

@@ -152,7 +152,11 @@ def _make_batch_aux(pair, opt: Options, layers, vols=None):
         import jax
         from ..parallel import mesh as mesh_mod
         from ..parallel.replica import ReplicaSolver
-        devices = jax.devices()
+        # Only as many devices as auxiliary seeds: ReplicaSolver pads the
+        # batch to the mesh size (one redundant build_energy + solve per
+        # padded slot), so a k-seed ensemble on an 8-chip mesh must not
+        # span all 8 chips.
+        devices = jax.devices()[:max(1, min(k, len(jax.devices())))]
         m = mesh_mod.make_mesh((len(devices),), ("data",), devices)
         ims0 = np.repeat(pair.im0[None], k, 0)
         ims1 = np.repeat(pair.im1[None], k, 0)
@@ -217,11 +221,9 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
             # per chip — pair b bit-equals the serial solve with seed+1+b.
             rs = make_batch_aux(opt.seed + 1, k)
             rs.run(opt.iterations, modes, opt.pm_iterations)
-            p_, h_, w_ = rs.cfg.pad, rs.cfg.height, rs.cfg.width
             for b in range(k):
-                fuse_with.append({m: np.asarray(
-                    rs._state[m][0][b, p_:p_ + h_, p_:p_ + w_])
-                    for m in modes})
+                fuse_with.append({m: rs.labeling(b, mode=m)
+                                  for m in modes})
             print(f"fuseSeeds: solved {k} auxiliary seed(s) on "
                   f"{len(jax.devices())} devices")
         else:

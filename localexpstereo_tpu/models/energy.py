@@ -27,9 +27,13 @@ from ..ops import (guided, pairwise, unary_pallas, unary_volume, unary_warp,
                    validity, windows)
 
 #: Test hook: when True, the engine's DMA-backend gates accept non-TPU
-#: backends and the Pallas samplers run in interpret mode, so CI (CPU)
-#: can exercise the "dma"/"dma_rows" integration end-to-end. Set by
-#: tests only; production leaves it False.
+#: backends (the samplers then run in interpret mode because interpret is
+#: derived from ``jax.default_backend() != "tpu"``). CI (CPU) uses it to
+#: exercise the "dma"/"dma_rows" integration end-to-end. CAVEAT: the flag
+#: is read at TRACE time and is not part of any jit cache key — set it
+#: before the first solver with a DMA-backend cfg is traced in the
+#: process, and do not toggle it between same-cfg solvers. Tests only;
+#: production leaves it False.
 DMA_INTERPRET = False
 
 
@@ -727,7 +731,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 stats=data.gf_stack[mode] if fused_gf else None,
                 r_gf=r if fused_gf else 0,
                 scale=cfg.vol_scale, zero=cfg.vol_zero,
-                interpret=DMA_INTERPRET)
+                interpret=jax.default_backend() != "tpu")
         elif vol_dma:
             # Fused HBM-window-gather + tent kernel (ops/unary_pallas.py):
             # no hoisted slab array, traffic = exactly the window bytes.
@@ -740,7 +744,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 stats=data.gf_stack[mode] if fused_gf else None,
                 r_gf=r if fused_gf else 0,
                 scale=cfg.vol_scale, zero=cfg.vol_zero,
-                interpret=DMA_INTERPRET)
+                interpret=jax.default_backend() != "tpu")
         elif vol_slabs is not None:
             raw = unary_volume.sample_slabs_aligned(
                 vol_slabs, proposals, fox, foy, cfg.height, cfg.width,

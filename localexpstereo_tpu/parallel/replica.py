@@ -318,6 +318,13 @@ class ReplicaSolver:
         tot, dc, sc = tot[:self.batch], dc[:self.batch], sc[:self.batch]
         return (tot, dc, sc), jnp.mean(tot)
 
+    def labeling(self, b: int, mode: int = 0, state=None) -> np.ndarray:
+        """Unpadded [H, W, 4] labeling of pair ``b`` (after :meth:`run`)."""
+        st = state if state is not None else self._state
+        p = self.cfg.pad
+        return np.asarray(st[mode][0][b, p:p + self.cfg.height,
+                                      p:p + self.cfg.width])
+
     def disparities(self, state=None):
         labeling, _ = state if state is not None else self._state[0]
         p = self.cfg.pad

@@ -143,7 +143,6 @@ def test_fuse_seeds_mesh_parallel_matches_serial(tmp_path):
     batch_aux = cli._make_batch_aux(pair, opt, layers, vols=(vol_l, vol_r))
     rs = batch_aux(opt.seed + 1, 2)
     rs.run(opt.iterations, (0,), opt.pm_iterations)
-    p_, hh, ww = rs.cfg.pad, rs.cfg.height, rs.cfg.width
 
     for b in range(2):
         aux = cli._make_solver(
@@ -151,5 +150,4 @@ def test_fuse_seeds_mesh_parallel_matches_serial(tmp_path):
             layers=layers, vols=(vol_l, vol_r))
         aux.run(opt.iterations, (0,), opt.pm_iterations)
         want = np.asarray(aux._unpadded_labeling(aux._state, 0))
-        got = np.asarray(rs._state[0][0][b, p_:p_ + hh, p_:p_ + ww])
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(rs.labeling(b, mode=0), want)

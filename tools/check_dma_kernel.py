@@ -87,8 +87,7 @@ def main():
     print("OK")
 
 
-if __name__ == "__main__":
-    main()
+
 
 
 def check_uint8():
@@ -154,3 +153,7 @@ def check_rows():
     diff = float(jnp.abs(out - ref).max())
     print(f"rows(u8+gf): max |tpu - interpret| = {diff}")
     assert diff < 1e-3, "rows kernel mismatch on real TPU"
+
+
+if __name__ == "__main__":
+    main()
