@@ -33,6 +33,19 @@ from ..config import COST_FOR_INVALID
 _RB = 8
 
 
+def _slab_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast a VMEM slab to f32 for the tent contraction.
+
+    Mosaic on real TPU hardware rejects a direct uint8 -> float32 cast
+    ("Unsupported cast"); widen the quantized volume through int32 first
+    (int32 -> f32 is a native VPU conversion). Interpret mode accepts both,
+    so this path is hardware-verified by tools/tpu_smoke.py.
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)
+    return x.astype(jnp.float32)
+
+
 # ------------------------------------------------------------ VMEM box sums
 # Static-shift prefix sums on 2D [F, F] tiles (axis 0 = sublanes, axis 1 =
 # lanes). Mosaic lowers static concatenate-shifts to plain vector ops; the
@@ -171,7 +184,7 @@ def _make_kernel(d_: int, f: int, fr: int, fc: int, hv: int, wv: int,
             # with a static where-chain (dy <= fr - f < 16 by construction).
             # f32 cast BEFORE the roll: Mosaic's rotate only handles 32-bit
             # data (the tent contraction needs f32 anyway).
-            full = pltpu.roll(slab[slot].astype(jnp.float32), -dx, 2)
+            full = pltpu.roll(_slab_f32(slab[slot]), -dx, 2)
             win = full[:, :, :f]                         # [d, fr, f]
             xs_r = gx0_ref[i] + ix_r
             ys_r = (gy0_ref[i] - dy.astype(jnp.float32)) + iy_r
@@ -410,7 +423,7 @@ def _make_rows_kernel(d_: int, f: int, fr: int, wc: int, hv: int, wv: int,
         for j in range(nbx):
             i = m * nbx + j
             off = j * stride
-            chunk = slab[slot][:, :, off:off + cw].astype(jnp.float32)
+            chunk = _slab_f32(slab[slot][:, :, off:off + cw])
             full = pltpu.roll(chunk, -dx, 2)
             win = full[:, :, :f]                        # [d, fr, f]
             xs_r = gx0_im + jnp.float32(off) + ix_r
