@@ -63,7 +63,18 @@ def main():
     jax.block_until_ready(state)
     p = cfg.pad
 
+    only = os.environ.get("AB_LAYERS")  # e.g. "1,2"
+    only = {int(x) for x in only.split(",")} if only else None
+    grid = os.environ.get("AB_GRID")  # e.g. "64:16,64:64"
+    if grid:
+        grid = [tuple(int(v) for v in g.split(":")) for g in grid.split(",")]
+    else:
+        grid = [(64, 16), (64, 8), (64, 32), (64, 64), (64, 128),
+                (32, 16), (128, 16)]
+
     for li, layer in enumerate(solver.layers):
+        if only is not None and li not in only:
+            continue
         i0, j0 = layer.colors[5 % len(layer.colors)]
         ox_, oy_, _ = layer.color_regions(i0, j0)
         ox, oy = jnp.asarray(ox_), jnp.asarray(oy_)
@@ -85,8 +96,7 @@ def main():
 
         print(f"\n== layer {li}: S={ss} regions={n}")
         ref = None
-        for mgr, spr in [(64, 16), (64, 8), (64, 32), (64, 64), (64, 128),
-                         (32, 16), (128, 16)]:
+        for mgr, spr in grid:
             fn = lambda: mincut_pallas.expansion_accept_pallas(
                 halo, props, (ox - s).astype(jnp.float32),
                 (oy - s).astype(jnp.float32), coeff_win, ccost, pcost,
