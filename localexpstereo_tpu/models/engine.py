@@ -264,6 +264,18 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                          and jax.default_backend() == "tpu"))
         if not use_fused:
             coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
+        # Round-structure knobs for the fused solve, tuned on real engine
+        # state (tools/ab_mincut_knobs.py, hardware-measured): the accept
+        # mask stabilizes long before the float eps-tail of trapped excess
+        # drains, so capping the global-relabel rounds at 16 cuts 16-18%
+        # of solve time at every layer with bit-identical accepts; at
+        # S >= 256 longer push phases between relabels win additionally.
+        # Safety: the in-kernel exact energy-delta guard rejects any
+        # region whose move would raise its energy, so a hypothetical
+        # truncated solve can degrade move quality only, never
+        # monotonicity (cf. FastGCStereo.h:561-594).
+        gc_rounds = 16
+        gc_sweeps = 64 if ss >= 256 else 16
 
     def step_body(idx, step, labeling_m, cost_m):
         k = jax.random.fold_in(key, idx)
@@ -316,7 +328,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 # solve + exact energy guard in one VMEM-resident pass.
                 accept = mincut_pallas.expansion_accept_pallas(
                     halo, props, tox, toy, coeff_win, ccost, pcost,
-                    lam=lam, tau=tau)
+                    lam=lam, tau=tau, max_global_rounds=gc_rounds,
+                    sweeps_per_round=gc_sweeps)
             else:
                 c00, c01, c10 = jax.vmap(
                     lambda hl, pr, cf, x0, y0: pairwise.expansion_tables(
