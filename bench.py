@@ -113,8 +113,19 @@ def _fail(msg, code):
 
 
 def _watchdog():
+    """Stall detector that can tell 'wedged tunnel' from 'long XLA compile':
+    a wedge leaves the process idle-blocked on the device RPC (~0 CPU),
+    while compilation burns host CPU. CPU progress counts as a heartbeat —
+    otherwise a cold-cache warmup (several multi-minute color_step compiles
+    before the first per-sweep beat) trips the 900 s default, which is
+    exactly how round 3's first bench attempt died."""
+    last_cpu = time.process_time()
     while not _primary_done.is_set():
         time.sleep(10)
+        cpu = time.process_time()
+        if cpu - last_cpu > 0.5:     # >5% of a core since the last check
+            beat()
+        last_cpu = cpu
         if time.time() - _last_beat[0] > STALL_S:
             _fail(f"device stalled: no progress for {STALL_S:.0f}s "
                   f"(tunneled TPU wedge?)", 3)

@@ -108,6 +108,10 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     # JAX_PLATFORMS env var, so "-platform cpu" is the reliable way to run
     # the CLI off-device (fast iteration, or a busy/wedged tunnel).
     ap.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
+    # Live progress display: overwrites live_D.png / live_E.png under
+    # outputDir/debug each evaluation (the headless equivalent of the
+    # reference's cv::imshow windows, Evaluator.h:145-160).
+    ap.add_argument("--show", type=int, default=0)
     ns = ap.parse_args(norm)
 
     return Options(
@@ -118,7 +122,8 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         filter_radius=ns.filterRadious, thread_num=ns.threadNum,
         seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
         vol_precision=ns.volPrecision, platform=ns.platform,
-        fuse_seeds=ns.fuseSeeds, unary_backend=ns.unaryBackend)
+        fuse_seeds=ns.fuseSeeds, unary_backend=ns.unaryBackend,
+        show=bool(ns.show))
 
 
 def print_options(opt: Options):
@@ -199,7 +204,7 @@ def _run(solver: LocalExpansionSolver, pair, opt: Options,
 
     ev = Evaluator(pair.disp_gt, pair.nonocc,
                    255.0 / max(pair.max_disparity, 1e-6),
-                   header="result", save_dir=debug_dir)
+                   header="result", save_dir=debug_dir, show=opt.show)
     ev.set_precision(gt_precision)
     ev.set_error_threshold(error_thresh)
 

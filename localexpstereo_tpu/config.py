@@ -103,6 +103,10 @@ class Options:
     #: config-level force is the only reliable CPU opt-out when the
     #: tunneled device is busy or wedged).
     platform: str = ""
+    #: Live progress display (-show): the reference's cv::imshow windows
+    #: (Evaluator.h:145-160) become constantly-overwritten live_D/live_E
+    #: preview files under outputDir/debug (headless TPU hosts).
+    show: bool = False
 
     def resolve_smooth_weight(self) -> float:
         """Mode presets (``main.cpp:37-40``): MiddV2 -> 1.0, MiddV3 -> 0.5,

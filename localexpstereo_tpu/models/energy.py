@@ -16,6 +16,7 @@ arrays; out-of-image pixels are handled by masks, never by clipping.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -101,6 +102,19 @@ class EnergyConfig:
     #: divides this by the vmapped pair count (the hoist materializes once
     #: PER PAIR inside the vmap).
     slab_budget: int = 2 << 30
+    #: Min-cut round structure (engine._color_body). gc_rounds caps the
+    #: global-relabel rounds of the push-relabel solve; gc_sweeps is the
+    #: push-sweep count between relabels. 0 = auto: the fused Pallas path
+    #: uses the hardware-tuned (16, 64-if-region>=256-else-16) values
+    #: (tools/ab_mincut_knobs.py — bit-identical accepts, -16-18% solve
+    #: time on the bench problem); the XLA fallback keeps the conservative
+    #: (64, auto) so CPU-generated parity pins are unaffected. Set both
+    #: explicitly to force one structure on EITHER backend (e.g.
+    #: gc_rounds=64 restores the conservative cap on TPU for
+    #: accuracy-critical runs where 16 rounds might truncate convergence —
+    #: the in-kernel energy guard keeps truncation monotonic either way).
+    gc_rounds: int = 0
+    gc_sweeps: int = 0
 
 
 def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
@@ -262,11 +276,48 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
                          max_disp: float, pad: int, min_disp: float,
                          max_vdisp: float, vol0, vol1, interp: int,
                          vol_pad: int, vol_dtype: str, vol_transform):
-    """jnp-only :func:`build_energy` (stats_backend="device")."""
+    """jnp-only :func:`build_energy` (stats_backend="device").
+
+    The config is frame-independent (shapes + params only — the uint8
+    quantization range is static from tau, see below), so the whole tensor
+    assembly is ONE jitted dispatch: a serving stream rebuilding the energy
+    every frame pays a single async device program instead of dozens of
+    eager dispatches over the (slow, tunneled) host link."""
     assert vol_transform is None, \
         "sharded volume placement needs the host build path"
     h, w = (int(im0_bgr.shape[0]), int(im0_bgr.shape[1]))
     kind = "volume" if vol0 is not None else "naive"
+    vol_scale = 1.0
+    if kind == "volume" and vol_dtype == "uint8":
+        # Static quantization range from tau only (no data-dependent min:
+        # this path rebuilds per frame under jit, and device volumes from
+        # the MC-CNN are non-negative).
+        vol_scale = 2.0 * float(params.th_col) / 255.0
+    cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
+                       min_disp=min_disp, max_disp=max_disp,
+                       max_vdisp=max_vdisp, interp=interp,
+                       vol_pad=int(vol_pad) if kind == "volume" else 0,
+                       exi_pad=(int(vol_pad) + int(np.ceil(max_disp)) + 1
+                                if kind == "naive" else 0),
+                       vol_scale=vol_scale)
+    data = _device_energy_tensors(
+        jnp.asarray(im0_bgr, jnp.float32), jnp.asarray(im1_bgr, jnp.float32),
+        None if vol0 is None else jnp.asarray(vol0),
+        None if vol1 is None else jnp.asarray(vol1),
+        cfg=cfg, vol_dtype=vol_dtype)
+    return data, cfg
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "vol_dtype"))
+def _device_energy_tensors(im0_bgr, im1_bgr, vol0, vol1, *,
+                           cfg: EnergyConfig, vol_dtype: str) -> EnergyData:
+    """Assembles the per-frame EnergyData tensors on device (one program)."""
+    params = cfg.params
+    pad = cfg.pad
+    kind = cfg.kind
+    vol_pad = cfg.vol_pad
+    h, w = cfg.height, cfg.width
+    max_disp = cfg.max_disp
     r = params.guided_radius
 
     def pad_hw(arr, axes):
@@ -290,11 +341,8 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
             jnp.moveaxis(stats.inv, -1, 0)]))
 
     exi = vol = gf_stack = None
-    exi_pad = 0
-    vol_scale = 1.0
     if kind == "naive":
-        exi_pad = int(vol_pad) + int(np.ceil(max_disp)) + 1
-        ep = exi_pad
+        ep = cfg.exi_pad
         exi = jnp.pad(jnp.stack([
             unary_warp.build_feature_image(jnp.asarray(im0_bgr), params.alpha),
             unary_warp.build_feature_image(jnp.asarray(im1_bgr), params.alpha)]),
@@ -302,12 +350,9 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
     else:
         vp = int(vol_pad)
         if vol_dtype == "uint8":
-            # Static quantization range from tau only (no data-dependent
-            # min: the serving path rebuilds per frame under jit, and
-            # device volumes from the MC-CNN are non-negative).
-            vol_scale = 2.0 * float(params.th_col) / 255.0
+            # cfg.vol_scale carries the static range (set by the caller).
             vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)])
-            vol = jnp.clip(jnp.rint(vol / vol_scale), 0, 255).astype(
+            vol = jnp.clip(jnp.rint(vol / cfg.vol_scale), 0, 255).astype(
                 jnp.uint8)
         else:
             vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
@@ -324,16 +369,10 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
                                     (vp, vol.shape[2] - h - vp),
                                     (vp, vol.shape[3] - w - vp)))
 
-    data = EnergyData(
+    return EnergyData(
         guide=jnp.stack(guides), gf_mean=jnp.stack(means),
         gf_inv=jnp.stack(invs), coeff8=jnp.stack(coeffs),
         exi=exi, vol=vol, gf_stack=gf_stack)
-    cfg = EnergyConfig(kind=kind, width=w, height=h, pad=pad, params=params,
-                       min_disp=min_disp, max_disp=max_disp,
-                       max_vdisp=max_vdisp, interp=interp,
-                       vol_pad=int(vol_pad) if kind == "volume" else 0,
-                       exi_pad=exi_pad, vol_scale=vol_scale)
-    return data, cfg
 
 
 def init_state(cfg: EnergyConfig, num_views: int = 2) -> SolverState:

@@ -264,18 +264,27 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                          and jax.default_backend() == "tpu"))
         if not use_fused:
             coeff_fwd = coeff_win[:, list(pairwise.FORWARD)]
-        # Round-structure knobs for the fused solve, tuned on real engine
+        # Round-structure knobs for the min-cut solve, tuned on real engine
         # state (tools/ab_mincut_knobs.py, hardware-measured): the accept
         # mask stabilizes long before the float eps-tail of trapped excess
         # drains, so capping the global-relabel rounds at 16 cuts 16-18%
         # of solve time at every layer with bit-identical accepts; at
         # S >= 256 longer push phases between relabels win additionally.
-        # Safety: the in-kernel exact energy-delta guard rejects any
-        # region whose move would raise its energy, so a hypothetical
-        # truncated solve can degrade move quality only, never
-        # monotonicity (cf. FastGCStereo.h:561-594).
-        gc_rounds = 16
-        gc_sweeps = 64 if ss >= 256 else 16
+        # Safety: the in-kernel exact energy-delta guard (the repo's own
+        # runtime check, mincut_pallas._make_expansion_kernel's energy-delta
+        # block; the XLA path's guard is the move_energy_delta test below)
+        # rejects any region whose move would raise its energy, so a
+        # hypothetical truncated solve can degrade move quality only, never
+        # monotonicity. (The reference has NO runtime guard — its analogue,
+        # FastGCStereo.h:561-594, is a #if 0-disabled debug assertion — and
+        # relies on exact BK maxflow instead.)
+        # cfg 0 = auto: tuned values on the fused path; the XLA fallback
+        # stays at its conservative (64, auto) defaults INTENTIONALLY so
+        # CPU-generated parity pins are unaffected. Explicit cfg values
+        # apply to both backends.
+        gc_rounds = cfg.gc_rounds or (16 if use_fused else 64)
+        gc_sweeps = cfg.gc_sweeps or ((64 if ss >= 256 else 16)
+                                      if use_fused else 0)
 
     def step_body(idx, step, labeling_m, cost_m):
         k = jax.random.fold_in(key, idx)
@@ -340,7 +349,9 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                         hl, pr, cf, x0, y0, lam, tau)
                 )(halo, props, coeff_win, tox, toy)
                 accept = mincut.mincut_accept(ccost + t0b, pcost + t1b,
-                                              c00, c01, c10)
+                                              c00, c01, c10,
+                                              max_global_rounds=gc_rounds,
+                                              sweeps_per_round=gc_sweeps)
                 # Monotonicity guard (cf. FastGCStereo.h:561-594): reject any
                 # region whose move would not decrease its energy.
                 delta = mincut.move_energy_delta(accept, ccost + t0b,
@@ -642,7 +653,7 @@ class LocalExpansionSolver:
                  params: Parameters, max_disp: float, min_disp: float = 0.0,
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
-                 interp: int = 1, vol_dtype: str = "bfloat16",
+                 interp: int = 1, vol_dtype: str = "uint8",
                  stats_backend: str = "host", unary_layout: str = "auto",
                  unary_backend: str = "auto"):
         self.im0 = np.asarray(im0_bgr, np.float32)
@@ -688,6 +699,9 @@ class LocalExpansionSolver:
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             stats_backend=self.stats_backend)
+        self.cfg = self._apply_cfg_overrides(self.cfg)
+
+    def _apply_cfg_overrides(self, cfg):
         if self.unary_layout != "auto" or self.unary_backend != "auto":
             import dataclasses
             kw = {}
@@ -695,7 +709,52 @@ class LocalExpansionSolver:
                 kw["unary_layout"] = self.unary_layout
             if self.unary_backend != "auto":
                 kw["unary_backend"] = self.unary_backend
-            self.cfg = dataclasses.replace(self.cfg, **kw)
+            cfg = dataclasses.replace(cfg, **kw)
+        return cfg
+
+    def update_frame(self, im0_bgr, im1_bgr, vol0=None, vol1=None,
+                     seed: Optional[int] = None):
+        """Serving fast path: swap in a NEW frame's tensors on a finalized
+        solver without re-creating it.
+
+        The grid layers, EnergyConfig, and therefore every compiled
+        executable (jit caches key on cfg + shapes) are reused; only the
+        per-frame EnergyData — GF statistics, pairwise coefficients, the
+        quantized cost volume — is recomputed, as ONE jitted device
+        program (``stats_backend="device"`` required: the host stats path
+        computes float64 numpy stats and, for uint8, a data-dependent
+        quantization range, both of which would retrace or drift cfg).
+        Images/volumes may be device arrays (e.g. an on-device MC-CNN
+        volume); they are consumed where they live, no host round trip.
+
+        This is what makes the video-rate stream (``serving.StereoStream``)
+        actually video-rate: the reference equivalent would be re-running
+        ``FastGCStereo``'s constructor per frame (``FastGCStereo.h:76-81``,
+        which recomputes ``initSmoothnessCoeff`` + GF stats on the CPU).
+        """
+        assert self.data is not None, "update_frame requires finalize()"
+        assert self.stats_backend == "device", \
+            "update_frame needs stats_backend='device' (frame-independent cfg)"
+        assert (int(im0_bgr.shape[0]), int(im0_bgr.shape[1])) == \
+            (self.cfg.height, self.cfg.width), "frame geometry changed"
+        if seed is not None:
+            self.seed = seed
+        old_cfg = self.cfg
+        vol_pad = grid.required_volume_padding(
+            self.cfg.width, self.cfg.height, self.unit_sizes,
+            self.params.guided_radius)
+        data, cfg = energy_mod.build_energy(
+            im0_bgr, im1_bgr, self.params, self.max_disp, self.cfg.pad,
+            self.min_disp, self.max_vdisp, vol0, vol1, self.interp,
+            vol_pad=vol_pad, vol_dtype=self.vol_dtype,
+            stats_backend="device")
+        assert self._apply_cfg_overrides(cfg) == old_cfg, \
+            "frame update changed the static config"
+        self.data = data
+        # Keep the image attributes current (the dual-view post-process
+        # reads them); conversion is lazy — device arrays stay on device.
+        self.im0, self.im1 = im0_bgr, im1_bgr
+        self.vol0, self.vol1 = vol0, vol1
 
     # ------------------------------------------------------------- sweeps --
 

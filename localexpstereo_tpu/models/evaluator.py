@@ -31,6 +31,13 @@ class Evaluator:
         self.header = header
         self.save_dir = save_dir
         self.save_progress = save
+        #: Live progress display (``Evaluator.h:145-160``'s ``cv::imshow``
+        #: windows). This build runs headless (TPU hosts have no display
+        #: server), so the "windows" are two constantly-overwritten files —
+        #: ``live_D.png`` / ``live_E.png`` in ``save_dir`` — which any
+        #: auto-refreshing image viewer (``feh -R``, VS Code, a browser)
+        #: turns back into live windows.
+        self.show = show
         self.print_progress = print_progress
         self.error_threshold = 0.5
         self.qprecision = 1.0 / disparity_factor if disparity_factor else -1.0
@@ -95,6 +102,8 @@ class Evaluator:
         if mode == 0:
             self.last_accuracy = all_pct
 
+        if self.show and mode == 0:
+            self._show_live(disp)
         if self.save_progress:
             self._save_images(lab, disp, mode, index)
             if self._fp is not None and mode == 0:
@@ -109,6 +118,25 @@ class Evaluator:
 
         if was_ticking:
             self.start()
+
+    def _show_live(self, disp):
+        """Headless ``cv::imshow``: overwrite the live preview files
+        (atomic rename so a watching viewer never reads a torn frame)."""
+        try:
+            import cv2
+        except ImportError:
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        vis = np.clip(disp * self.disparity_factor, 0, 255).astype(np.uint8)
+        frames = {"live_D.png": vis}
+        if self.valid_mask is not None:
+            err_ok = np.abs(disp - self.disp_gt) <= self.error_threshold
+            frames["live_E.png"] = np.where(
+                err_ok | (~self.valid_mask), 255, 0).astype(np.uint8)
+        for name, img in frames.items():
+            tmp = os.path.join(self.save_dir, "." + name + ".tmp.png")
+            cv2.imwrite(tmp, img)
+            os.replace(tmp, os.path.join(self.save_dir, name))
 
     def _save_images(self, lab, disp, mode, index):
         try:

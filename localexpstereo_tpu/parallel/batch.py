@@ -91,7 +91,7 @@ class BatchedSolver:
                  vols0: Optional[np.ndarray] = None,
                  vols1: Optional[np.ndarray] = None,
                  min_disp: float = 0.0, seed: int = 0,
-                 vol_dtype: str = "bfloat16",
+                 vol_dtype: str = "uint8",
                  mincut_backend: Optional[str] = None):
         assert ims0.shape == ims1.shape and ims0.ndim == 4
         self.batch = ims0.shape[0]

@@ -186,7 +186,7 @@ class ShardedVolumeSolver(engine_mod.LocalExpansionSolver):
                  vol0: np.ndarray, vol1: np.ndarray, mesh: Mesh,
                  axis_name: str = "space", min_disp: float = 0.0,
                  seed: int = 0, interp: int = 1,
-                 vol_dtype: str = "bfloat16"):
+                 vol_dtype: str = "uint8"):
         super().__init__(im0_bgr, im1_bgr, params, max_disp,
                          min_disp=min_disp, vol0=vol0, vol1=vol1, seed=seed,
                          interp=interp, vol_dtype=vol_dtype)

@@ -82,6 +82,7 @@ class StereoStream:
         self.last_frame_seconds: Optional[float] = None
         self.last_timings: Optional[dict] = None
         self._prev_labeling = None
+        self._solver: Optional[LocalExpansionSolver] = None
 
     def _proposers(self, li: int):
         if self.layer_proposers is not None:
@@ -98,18 +99,31 @@ class StereoStream:
         time frame 0 separately when benchmarking).
         """
         t0 = time.perf_counter()
-        solver = LocalExpansionSolver(
-            im0, im1, self.params, self.max_disp, min_disp=self.min_disp,
-            vol0=vol0, vol1=vol1, seed=self.seed + self.frame_index,
-            vol_dtype=self.vol_dtype, stats_backend=self.stats_backend)
-        for li, sz in enumerate(self.unit_sizes):
-            solver.add_layer(sz, self._proposers(li))
+        # ONE persistent solver for the stream: the first frame builds it
+        # (grid layers, static config, jit warmup); every later frame swaps
+        # in only the tensors that change — GF stats, pairwise coeffs,
+        # quantized volume — via update_frame() (a single jitted device
+        # program, no python re-finalize, no executable re-trace). This is
+        # what separates the stream from the reference's one-process-per-
+        # pair batch binary (``main.cpp:425-480``).
+        if self._solver is None:
+            self._solver = LocalExpansionSolver(
+                im0, im1, self.params, self.max_disp,
+                min_disp=self.min_disp, vol0=vol0, vol1=vol1,
+                seed=self.seed, vol_dtype=self.vol_dtype,
+                stats_backend=self.stats_backend)
+            for li, sz in enumerate(self.unit_sizes):
+                self._solver.add_layer(sz, self._proposers(li))
+            self._solver.finalize()
+        else:
+            self._solver.update_frame(im0, im1, vol0, vol1,
+                                      seed=self.seed + self.frame_index)
+        solver = self._solver
         # Per-stage walls for the steady-state profile (``last_timings``):
         # energy build (per-frame GF stats/coeffs/volume quantize on
         # device), the solve itself, and the output D2H.
         t_build = None
         if self.profile:
-            solver.finalize()
             jax.block_until_ready(solver.data)
             t_build = time.perf_counter()
 

@@ -91,3 +91,22 @@ def test_gt_quantization_rounds_to_nearest(tmp_path):
         engine_mod.energy_audit = orig
     assert ev.last_accuracy == 0.0
     ev.close()
+
+
+def test_show_writes_live_previews(tmp_path):
+    """show=True is the headless cv::imshow (Evaluator.h:145-160): every
+    evaluation overwrites live_D.png / live_E.png in save_dir."""
+    cv2 = pytest.importorskip("cv2")
+    im0, im1, gt, nonocc = _pair_with_gt()
+    ev = Evaluator(gt, nonocc, disparity_factor=255.0 / 7,
+                   save_dir=str(tmp_path), print_progress=False,
+                   show=True, save=False)
+    s = LocalExpansionSolver(im0, im1, PARAMS_GF.replace(windR=4),
+                             max_disp=7.0, seed=0)
+    s.add_layer(5, ("expansion", "ransac"))
+    s.set_evaluator(ev)
+    s.run(iterations=1, view_modes=(0,), pm_iterations=0)
+    d = os.path.join(str(tmp_path), "live_D.png")
+    e = os.path.join(str(tmp_path), "live_E.png")
+    assert os.path.exists(d) and os.path.exists(e)
+    assert cv2.imread(d).shape[:2] == gt.shape

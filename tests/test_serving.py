@@ -74,3 +74,32 @@ def test_reset_recovers_cold_path():
     assert stream._prev_labeling is None
     d = stream.process(img, img, vol, vol)
     assert np.isfinite(d).all()
+
+
+def test_update_frame_matches_fresh_solver():
+    """update_frame (the persistent-solver serving fast path) must be
+    bit-equal to building a fresh solver on the new frame's tensors: both
+    run the same executables on what must be the same EnergyData."""
+    import jax.numpy as jnp
+    from localexpstereo_tpu.models.engine import LocalExpansionSolver
+
+    imgA, volA, _ = _problem(4)
+    imgB, volB, _ = _problem(5)
+    params = PARAMS_GF.replace(windR=6, lambda_=0.5, th_col=0.5)
+    nd = float(volA.shape[0] - 1)
+
+    fresh = LocalExpansionSolver(imgB, imgB, params, nd, vol0=volB,
+                                 vol1=volB, seed=9,
+                                 stats_backend="device")
+    fresh.add_layer(4, ("expansion", "ransac"))
+    labF, _ = fresh.run(iterations=1, view_modes=(0,), pm_iterations=1)
+
+    upd = LocalExpansionSolver(imgA, imgA, params, nd, vol0=volA,
+                               vol1=volA, seed=0, stats_backend="device")
+    upd.add_layer(4, ("expansion", "ransac"))
+    upd.run(iterations=1, view_modes=(0,), pm_iterations=0)  # frame A solve
+    upd.update_frame(jnp.asarray(imgB), jnp.asarray(imgB),
+                     jnp.asarray(volB), jnp.asarray(volB), seed=9)
+    labU, _ = upd.run(iterations=1, view_modes=(0,), pm_iterations=1)
+
+    np.testing.assert_array_equal(labF, labU)
