@@ -785,10 +785,21 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 scale=cfg.vol_scale, zero=cfg.vol_zero,
                 interpret=jax.default_backend() != "tpu")
         elif vol_slabs is not None:
-            raw = unary_volume.sample_slabs_aligned(
-                vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
-                min_disp=cfg.min_disp, th_col=cfg.params.th_col,
-                scale=cfg.vol_scale, zero=cfg.vol_zero)
+            if cfg.interp == 1:
+                raw = unary_volume.sample_slabs_aligned(
+                    vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
+                    min_disp=cfg.min_disp, th_col=cfg.params.th_col,
+                    scale=cfg.vol_scale, zero=cfg.vol_zero)
+            else:
+                # Nearest/quadratic over the same slabs (the spatially
+                # sharded engine reaches here for interp != 1: its devices
+                # hold only their volume rows, so the full-volume gather
+                # below is not available).
+                raw = unary_volume.sample_slabs_method(
+                    vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
+                    min_disp=cfg.min_disp, max_disp=cfg.max_disp,
+                    th_col=cfg.params.th_col, method=cfg.interp,
+                    scale=cfg.vol_scale, zero=cfg.vol_zero)
         else:
             vp = cfg.vol_pad
             vol_un = (data.vol[mode] if vp == 0 else

@@ -135,8 +135,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     ch = jnp.clip(cfg.height - oy, 1, s)
     local = m_start is not None
     if local:
-        assert cfg.kind == "volume" and cfg.interp == 1, \
-            "spatial sharding currently supports the V3 linear-interp term"
+        assert cfg.kind == "volume", \
+            "spatial sharding supports the V3 volume term (any interp mode)"
         nby_u = nby_loc
         coy_u = coy + m_start * t4
         ox_u = _slice_rows(ox, m_start, nby, nbx, nby_loc)
@@ -240,7 +240,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     elif cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
-    if (cfg.kind == "volume" and cfg.interp == 1 and not use_block
+    if (cfg.kind == "volume" and (cfg.interp == 1 or local)
+            and not use_block
             and not use_vol_dma and not use_vol_rows and not use_rl):
         n_regions = ox_u.shape[0]
         if local or energy_mod.volume_slab_bytes(

@@ -185,6 +185,86 @@ def sample_slabs_aligned(slab, proposals, fox, foy, height, width, *,
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
 
 
+def sample_slabs_method(slab: jnp.ndarray, proposals: jnp.ndarray,
+                        fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
+                        min_disp, max_disp, th_col, method: int,
+                        scale: float = 1.0, zero: float = 0.0):
+    """All three interpolation modes over ALIGNED slabs.
+
+    Bit-identical element math to :func:`sample_windows` (the gather
+    oracle, ``CostVolumeEnergy.h:69-118``) but the d-taps read the region's
+    pre-sliced [N, D, F, F] slab via ``take_along_axis`` instead of
+    gathering from the full volume — this is what lets the spatially
+    sharded engine (``parallel/volume.py``), whose devices hold only their
+    overlapped volume rows, run the nearest/quadratic modes too (lifting
+    the former interp==1 restriction). Linear mode stays on the faster
+    tent contraction (:func:`sample_slabs_aligned`); this path serves
+    methods 0 and 2 (and is oracle-tested for 1 as well).
+    """
+    n, d_, size = slab.shape[0], slab.shape[1], slab.shape[2]
+    d0_off = int(-min_disp)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    xs = fox[:, None, None] + ix[None]
+    ys = foy[:, None, None] + iy[None]
+    in_image = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+
+    a = proposals[:, 0][:, None, None]
+    b = proposals[:, 1][:, None, None]
+    c = proposals[:, 2][:, None, None]
+    d = a * xs.astype(jnp.float32) + b * ys.astype(jnp.float32) + c
+
+    def tap(dslice):
+        v = jnp.take_along_axis(slab, dslice[:, None], axis=1)[:, 0]
+        return _decode(v.astype(jnp.float32), scale, zero)
+
+    zeros_i = jnp.zeros((n, size, size), jnp.int32)
+    if method == 0:
+        di = jnp.floor(d + 0.5).astype(jnp.int32) + d0_off
+        cost = tap(jnp.clip(di, 0, d_ - 1))
+        cost = jnp.where(~jnp.isfinite(d), COST_FOR_INVALID, cost)
+    elif method == 1:
+        d_low = tap(zeros_i)
+        d_high = tap(jnp.full_like(zeros_i, d_ - 1))
+        df = jnp.floor(d)
+        dd0 = df.astype(jnp.int32) + d0_off
+        f1 = d - df
+        c0 = tap(jnp.clip(dd0, 0, d_ - 1))
+        c1 = tap(jnp.clip(dd0 + 1, 0, d_ - 1))
+        lin = (1.0 - f1) * c0 + f1 * c1
+        lin = jnp.where((dd0 < 0) | (dd0 + 1 >= d_), COST_FOR_INVALID, lin)
+        cost = jnp.where(d < min_disp, d_low,
+                         jnp.where(d >= max_disp, d_high, lin))
+        cost = jnp.where(~jnp.isfinite(d), COST_FOR_INVALID, cost)
+    elif method == 2:
+        di = jnp.clip(jnp.floor(d + 0.5).astype(jnp.int32) + d0_off,
+                      0, d_ - 1)
+        d1i = jnp.maximum(di - 1, 0)
+        d3i = jnp.minimum(di + 1, d_ - 1)
+        y1, y2, y3 = tap(d1i), tap(di), tap(d3i)
+        rd1 = d1i.astype(jnp.float32)
+        rd2 = di.astype(jnp.float32)
+        rd3 = d3i.astype(jnp.float32)
+        qa = y1 / (rd1 - rd2) / (rd1 - rd3)
+        qb = y2 / (rd2 - rd1) / (rd2 - rd3)
+        qc = y3 / (rd3 - rd1) / (rd3 - rd2)
+        r = qa + qb + qc
+        p = -(qa * (rd2 + rd3) + qb * (rd1 + rd3) + qc * (rd1 + rd2))
+        q = qa * rd2 * rd3 + qb * rd1 * rd3 + qc * rd1 * rd2
+        dv = d + float(d0_off)
+        quad = r * dv * dv + p * dv + q
+        cost = jnp.where(jnp.floor(d + 0.5) + d0_off < 0, tap(zeros_i),
+                         jnp.where(jnp.floor(d + 0.5) + d0_off >= d_,
+                                   tap(jnp.full_like(zeros_i, d_ - 1)),
+                                   quad))
+        cost = jnp.where(~jnp.isfinite(d), COST_FOR_INVALID, cost)
+    else:
+        raise ValueError(f"unknown interpolation method {method}")
+
+    cost = jnp.minimum(cost, th_col)
+    return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
+
+
 def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
                     fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
                     min_disp, th_col, scale=1.0, zero=0.0) -> jnp.ndarray:

@@ -74,3 +74,27 @@ def test_sharded_volume_exceeds_single_device_budget():
     lab, _ = sh.run(iterations=1, view_modes=(0,), pm_iterations=1)
     assert lab.shape == (64, 40, 4)
     assert np.isfinite(lab).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("interp", [0, 2])
+def test_sharded_bitexact_nonlinear_interp(interp):
+    """The former interp==1 restriction is lifted: nearest (0) and
+    quadratic (2) d-interpolation run sharded via the method-aware slab
+    sampler (unary_volume.sample_slabs_method) and must stay bit-equal to
+    the single-device engine (which gathers from the full volume)."""
+    n_dev = 4
+    mesh = mesh_mod.make_mesh((n_dev,), ("space",),
+                              jax.devices()[:n_dev])
+    img, vol, nd = _problem()
+    unit_sizes = [3, 5]
+
+    ref = _make(LocalExpansionSolver, img, vol, nd, unit_sizes,
+                interp=interp)
+    lab_ref, _ = ref.run(iterations=1, view_modes=(0,), pm_iterations=1)
+
+    sh = _make(ShardedVolumeSolver, img, vol, nd, unit_sizes, mesh=mesh,
+               interp=interp)
+    lab_sh, _ = sh.run(iterations=1, view_modes=(0,), pm_iterations=1)
+
+    np.testing.assert_array_equal(lab_sh, lab_ref)
