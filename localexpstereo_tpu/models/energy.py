@@ -124,7 +124,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
                  vol1: Optional[np.ndarray] = None,
                  interp: int = 1, vol_pad: int = 0,
                  vol_dtype: str = "float32", vol_transform=None,
-                 stats_backend: str = "host"):
+                 stats_backend: str = "host", dma_align: bool = False):
     """Builds (EnergyData, EnergyConfig) for one stereo pair.
 
     Passing cost volumes selects the V3 ``CostVolumeEnergy`` data term
@@ -134,11 +134,19 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
     stats, on-device padding) so per-frame rebuilds move no bulk data over
     the host link — the serving path. "host" (default) computes GF stats
     in float64 numpy for reference parity (``StereoEnergy.h:673-681``).
+
+    ``dma_align`` widens the volume's trailing padding to the DMA sampler's
+    uint8 tile alignment ((32, 128) + a lane tile of clamp slack). Only the
+    opt-in "dma"/"dma_rows" unary backends need it — solvers set it from
+    their backend choice. It must NOT be on by default: the wider row pitch
+    taxes every slab gather of the default XLA path (+0.7 s/frame on the
+    halfH bench — the round-4 HEAD-vs-6b50199 bisect, ARCHITECTURE.md).
     """
     if stats_backend == "device":
         return _build_energy_device(
             im0_bgr, im1_bgr, params, max_disp, pad, min_disp, max_vdisp,
-            vol0, vol1, interp, vol_pad, vol_dtype, vol_transform)
+            vol0, vol1, interp, vol_pad, vol_dtype, vol_transform,
+            dma_align)
     h, w = im0_bgr.shape[:2]
     kind = "volume" if vol0 is not None else "naive"
     r = params.guided_radius
@@ -199,7 +207,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             # the dtype's VMEM tiling — (8, 128) for f32/bf16, (32, 128)
             # for uint8 — so clamped aligned-superset windows need
             # H % sub == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
-            sub = 32 if vol_host.dtype == np.uint8 else 8
+            sub = 32 if dma_align and vol_host.dtype == np.uint8 else 8
             # uint8 gets an extra lane tile of slack: the strip-mined rows
             # kernel (sample_windows_dma_rows) clamps its row-strip start
             # down by up to 2 tiles, so it needs +256 beyond the row
@@ -218,7 +226,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             vol = jnp.asarray(vol_host)
 
     gf_stack = None
-    if (kind == "volume" and vol_transform is None
+    if (kind == "volume" and vol_transform is None and dma_align
             and params.filter_name in ("GF", "GFfloat")):
         # Channel-major stats stack for the fused DMA gather+tent+GF kernel,
         # with the volume's exact base offset and alignment padding so one
@@ -275,7 +283,8 @@ def _quantize_vol(stacked: np.ndarray, th_col: float):
 def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
                          max_disp: float, pad: int, min_disp: float,
                          max_vdisp: float, vol0, vol1, interp: int,
-                         vol_pad: int, vol_dtype: str, vol_transform):
+                         vol_pad: int, vol_dtype: str, vol_transform,
+                         dma_align: bool = False):
     """jnp-only :func:`build_energy` (stats_backend="device").
 
     The config is frame-independent (shapes + params only — the uint8
@@ -304,13 +313,15 @@ def _build_energy_device(im0_bgr, im1_bgr, params: Parameters,
         jnp.asarray(im0_bgr, jnp.float32), jnp.asarray(im1_bgr, jnp.float32),
         None if vol0 is None else jnp.asarray(vol0),
         None if vol1 is None else jnp.asarray(vol1),
-        cfg=cfg, vol_dtype=vol_dtype)
+        cfg=cfg, vol_dtype=vol_dtype, dma_align=dma_align)
     return data, cfg
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "vol_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "vol_dtype",
+                                             "dma_align"))
 def _device_energy_tensors(im0_bgr, im1_bgr, vol0, vol1, *,
-                           cfg: EnergyConfig, vol_dtype: str) -> EnergyData:
+                           cfg: EnergyConfig, vol_dtype: str,
+                           dma_align: bool = False) -> EnergyData:
     """Assembles the per-frame EnergyData tensors on device (one program)."""
     params = cfg.params
     pad = cfg.pad
@@ -358,12 +369,12 @@ def _device_energy_tensors(im0_bgr, im1_bgr, vol0, vol1, *,
             vol = jnp.stack([jnp.asarray(vol0), jnp.asarray(vol1)]).astype(
                 jnp.dtype(vol_dtype))
         hv0, wv0 = h + 2 * vp, w + 2 * vp
-        sub = 32 if vol.dtype == jnp.uint8 else 8
+        sub = 32 if dma_align and vol.dtype == jnp.uint8 else 8
         lane_pad = 256 if sub == 32 else 128
         vol = jnp.pad(vol, ((0, 0), (0, 0),
                             (vp, vp + (-hv0) % sub + sub),
                             (vp, vp + (-wv0) % 128 + lane_pad)))
-        if params.filter_name in ("GF", "GFfloat"):
+        if dma_align and params.filter_name in ("GF", "GFfloat"):
             st = jnp.stack(stacks)
             gf_stack = jnp.pad(st, ((0, 0), (0, 0),
                                     (vp, vol.shape[2] - h - vp),

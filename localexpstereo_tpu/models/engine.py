@@ -699,7 +699,8 @@ class LocalExpansionSolver:
             self.im0, self.im1, self.params, self.max_disp, pad,
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
-            stats_backend=self.stats_backend)
+            stats_backend=self.stats_backend,
+            dma_align=self.unary_backend in ("dma", "dma_rows"))
         self.cfg = self._apply_cfg_overrides(self.cfg)
 
     def _apply_cfg_overrides(self, cfg):
@@ -748,7 +749,8 @@ class LocalExpansionSolver:
             im0_bgr, im1_bgr, self.params, self.max_disp, self.cfg.pad,
             self.min_disp, self.max_vdisp, vol0, vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
-            stats_backend="device")
+            stats_backend="device",
+            dma_align=self.unary_backend in ("dma", "dma_rows"))
         assert self._apply_cfg_overrides(cfg) == old_cfg, \
             "frame update changed the static config"
         self.data = data

@@ -150,7 +150,8 @@ class ReplicaSolver:
                 ims0[src], ims1[src], params, max_disp, pad, min_disp,
                 vol0=None if vols0 is None else vols0[src],
                 vol1=None if vols1 is None else vols1[src], vol_pad=vol_pad,
-                vol_dtype=vol_dtype)
+                vol_dtype=vol_dtype,
+                dma_align=unary_backend in ("dma", "dma_rows"))
             datas.append(data)
         if mincut_backend is not None:
             cfg = dataclasses.replace(cfg, mincut_backend=mincut_backend)
