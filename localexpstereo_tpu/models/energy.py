@@ -741,7 +741,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   target_off: int, target_size: int,
                   stat_windows=None, vol_slabs=None,
                   exi_slabs=None, vol_dma: bool = False,
-                  vol_dma_rows=None) -> jnp.ndarray:
+                  vol_dma_rows=None, dshard=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -755,6 +755,11 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
       target_off: target window offset from the unit origin (-s for shared
         windows, 0 for init-time unit windows).
       target_size: side of the target window (3s or s).
+      dshard: D-axis volume sharding (``parallel/dvolume.py``):
+        ``(d_base, d_owned, d_total, axis_name)`` — the raw sampling runs
+        as a per-device owned-pixel partial over the local plane shard and
+        a ``psum`` over ``axis_name`` reassembles the exact raw cost before
+        filtering (must be called inside the corresponding ``shard_map``).
     Returns:
       [N, T, T] float32 costs (0 outside the image).
     """
@@ -796,7 +801,16 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 scale=cfg.vol_scale, zero=cfg.vol_zero,
                 interpret=jax.default_backend() != "tpu")
         elif vol_slabs is not None:
-            if cfg.interp == 1:
+            if dshard is not None:
+                d_base, d_owned, d_total, ax = dshard
+                part = unary_volume.sample_slabs_dshard(
+                    vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
+                    min_disp=cfg.min_disp, max_disp=cfg.max_disp,
+                    th_col=cfg.params.th_col, method=cfg.interp,
+                    d_base=d_base, d_owned=d_owned, d_total=d_total,
+                    scale=cfg.vol_scale, zero=cfg.vol_zero)
+                raw = jax.lax.psum(part, ax)
+            elif cfg.interp == 1:
                 raw = unary_volume.sample_slabs_aligned(
                     vol_slabs, proposals, fox, foy, cfg.height, cfg.width,
                     min_disp=cfg.min_disp, th_col=cfg.params.th_col,

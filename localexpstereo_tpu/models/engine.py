@@ -102,7 +102,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
                 dzs: jnp.ndarray, nrs: jnp.ndarray, key: jax.Array,
                 *, unit_size: int, nbx: int, nby: int, plan: tuple,
                 do_gc: bool, mode: int, step_active=None, nby_loc: int = 0,
-                m_start=None, own_rmask=None, vol_row_base=None):
+                m_start=None, own_rmask=None, vol_row_base=None,
+                dshard=None):
     """Runs the full proposal plan of one (layer, color) for one view.
 
     Equivalent to the body of ``localExpansionMovesForLayer_CPU``
@@ -126,6 +127,13 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         rows [m_start, m_start + nby_loc), with ``own_rmask`` restricting
         acceptance to the rows this shard owns and ``vol_row_base`` mapping
         image rows into the local overlapped volume shard.
+      dshard: DISPARITY-sharding mode (``parallel/dvolume.py``):
+        ``(d_base, d_owned, d_total, axis_name)``. The volume slab path is
+        forced and the raw sampling psums per-device owned-pixel partials
+        (see ``energy.unary_windows``); everything downstream of the unary
+        (min-cut, canvas) runs replicated on every device — the point of
+        this mode is HBM capacity, not speedup, so redundant compute on the
+        small non-volume state is the right trade.
     """
     s = unit_size
     ss = 3 * s
@@ -169,6 +177,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # guided filter fused in. A strip-mined variant (one DMA per region
     # row) is the way to make it win; until then "auto" = XLA.
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
+                   and dshard is None
                    and cfg.unary_backend == "dma"
                    and (jax.default_backend() == "tpu"
                         or energy_mod.DMA_INTERPRET))
@@ -176,6 +185,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # regular color grid — ~4-5x less aligned-superset overfetch than the
     # per-region kernel at the fine layer (ops/unary_pallas.py).
     use_vol_rows = (cfg.kind == "volume" and cfg.interp == 1 and not local
+                    and dshard is None
                     and cfg.unary_backend == "dma_rows"
                     and (jax.default_backend() == "tpu"
                          or energy_mod.DMA_INTERPRET))
@@ -212,7 +222,7 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # region-major — XLA already tiles the trailing [F, F] dims well and
     # the layout transposes cost more than the lane fill saves.
     use_rl = (cfg.kind == "volume" and cfg.interp == 1 and not use_block
-              and not use_vol_dma and not use_vol_rows
+              and not use_vol_dma and not use_vol_rows and dshard is None
               and cfg.params.filter_name in ("GF", "GFfloat", "")
               and cfg.unary_layout == "rl")
     if use_rl and not local:
@@ -240,11 +250,12 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     elif cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
-    if (cfg.kind == "volume" and (cfg.interp == 1 or local)
+    if (cfg.kind == "volume"
+            and (cfg.interp == 1 or local or dshard is not None)
             and not use_block
             and not use_vol_dma and not use_vol_rows and not use_rl):
         n_regions = ox_u.shape[0]
-        if local or energy_mod.volume_slab_bytes(
+        if local or dshard is not None or energy_mod.volume_slab_bytes(
                 data, n_regions, ss,
                 cfg.params.guided_radius) <= cfg.slab_budget:
             vol_slabs = energy_mod.dense_volume_slabs(
@@ -315,7 +326,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             pcost = energy_mod.unary_windows(
                 data, cfg, mode, props, ox_u, oy_u, -s, ss, stat_windows,
                 vol_slabs, exi_slabs, vol_dma=use_vol_dma,
-                vol_dma_rows=((nbx, nby_u, t4) if use_vol_rows else None))
+                vol_dma_rows=((nbx, nby_u, t4) if use_vol_rows else None),
+                dshard=dshard)
         if step_active is not None:
             # Inactive steps (random-perturbation decay early-stop,
             # ``Proposer.h:149-152``) propose at COST_FOR_INVALID so nothing
@@ -500,7 +512,7 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
 def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
               key: jax.Array, *, unit_size: int, mode: int, hb_loc: int = 0,
               m_start=None, own_rmask=None, vol_row_base=None,
-              seed_labeling_m=None):
+              seed_labeling_m=None, dshard=None):
     """Random per-cell initialization (``initCurrentFast``,
     ``FastGCStereo.h:94-115``): one random label at a random pixel of each
     layer-0 cell, assigned cell-wide, unary evaluated on cell + R.
@@ -547,15 +559,25 @@ def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             data, cfg, mode, row0 - s, 0 - s, s, hb_u, wb, 0, s,
             vol_row_base=vol_row_base, stride=s)
         cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
-                                        oy_u, 0, s, vol_slabs=vol_slabs)
+                                        oy_u, 0, s, vol_slabs=vol_slabs,
+                                        dshard=dshard)
         mask = (energy_mod.in_image_windows(cfg, ox_u, oy_u, 0, s) > 0)
         mask &= own_rmask[:, None, None]
     else:
         hb_u = hb
         row0 = 0
         ox_u, oy_u, labels_u = ox, oy, labels
-        cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
-                                        oy_u, 0, s)
+        if dshard is not None:
+            # D-sharded volume: slabs resolve from the local plane shard;
+            # the psum merge happens inside unary_windows.
+            vol_slabs = energy_mod.dense_volume_slabs(
+                data, cfg, mode, -s, -s, s, hb, wb, 0, s, stride=s)
+            cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
+                                            oy_u, 0, s, vol_slabs=vol_slabs,
+                                            dshard=dshard)
+        else:
+            cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
+                                            oy_u, 0, s)
         mask = energy_mod.in_image_windows(cfg, ox_u, oy_u, 0, s) > 0
 
     n_u = hb_u * wb

@@ -265,6 +265,117 @@ def sample_slabs_method(slab: jnp.ndarray, proposals: jnp.ndarray,
     return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
 
 
+def sample_slabs_dshard(slab: jnp.ndarray, proposals: jnp.ndarray,
+                        fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
+                        min_disp, max_disp, th_col, method: int,
+                        d_base, d_owned, d_total: int,
+                        scale: float = 1.0, zero: float = 0.0):
+    """Per-device PARTIAL of the slab sampling over a D-SHARDED volume.
+
+    The disparity axis is split across a mesh (``parallel/dvolume.py``):
+    this device's local slab plane ``j`` holds GLOBAL plane
+    ``d_base - 1 + j`` — the owned planes ``[d_base, d_base + d_owned)``
+    plus one halo plane on each side (zero-padded at the volume ends; the
+    halo planes are only ever read as the secondary taps of owned pixels).
+
+    Every output pixel is assigned exactly ONE owner device — the holder of
+    its primary interpolation tap (``floor`` of the clipped plane disparity;
+    the out-of-range and non-finite branches go to the end/first devices) —
+    and the owner computes the pixel's fully FINALIZED cost (decode,
+    invalid-replace, ``th_col`` truncation, in-image zeroing) from planes
+    that are all local to it. Non-owned pixels contribute exact zeros, so a
+    ``psum`` over the mesh axis reassembles the unsharded result
+    bit-for-bit (:func:`sample_slabs_aligned` for linear,
+    :func:`sample_slabs_method` for nearest/quadratic): the unsharded
+    reductions differ only by added exact zeros / identical two-term sums.
+
+    Args:
+      slab: [N, DL, F, F] local slabs (DL = d_owned_max + 2).
+      d_base, d_owned: traced per-device scalars (global first owned plane,
+        owned plane count). d_total: static global plane count D.
+    Returns:
+      [N, F, F] float32 — finalized cost at owned pixels, 0 elsewhere.
+    """
+    n, dl, size = slab.shape[0], slab.shape[1], slab.shape[2]
+    d_ = d_total
+    d0_off = float(-min_disp)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1)
+    xs = fox[:, None, None].astype(jnp.float32) + ix[None]
+    ys = foy[:, None, None].astype(jnp.float32) + iy[None]
+    a = proposals[:, 0][:, None, None]
+    b = proposals[:, 1][:, None, None]
+    c = proposals[:, 2][:, None, None]
+    d = a * xs + b * ys + c
+    finite = jnp.isfinite(d)
+    in_image = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
+
+    def owns(g):
+        """Owner mask for primary-tap plane g (non-finite -> device 0)."""
+        g = jnp.where(finite, g, 0)
+        return (g >= d_base) & (g < d_base + d_owned)
+
+    def tap_local(g):
+        """Reads global plane g from the local slab (clamped into the local
+        range; only owner-masked lanes consume the value)."""
+        lj = jnp.clip(g - (d_base - 1), 0, dl - 1)
+        v = jnp.take_along_axis(slab, lj[:, None], axis=1)[:, 0]
+        return _decode(v.astype(jnp.float32), scale, zero)
+
+    if method == 1:
+        # Mirror of sample_slabs_aligned's tent contraction, with the global
+        # d-grid values restricted to the local planes. An owned pixel's
+        # (<= 2) non-zero tent terms lie in [d_base, d_base + d_owned] --
+        # all local -- so the masked local sum equals the full-D sum.
+        dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
+        own = owns(jnp.floor(dv).astype(jnp.int32))
+        dgrid = (d_base - 1) + jax.lax.broadcasted_iota(
+            jnp.float32, (dl, 1, 1), 0)
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid[None] - dv[:, None]))
+        cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=1)
+        cost = _decode(cost, scale, zero)
+        cost = jnp.where(finite, cost, COST_FOR_INVALID)
+        cost = jnp.minimum(cost, th_col)
+        return jnp.where(own & in_image, cost, 0.0).astype(jnp.float32)
+
+    zeros_i = jnp.zeros((n, size, size), jnp.int32)
+    if method == 0:
+        di = jnp.clip(jnp.floor(d + 0.5).astype(jnp.int32) + int(d0_off),
+                      0, d_ - 1)
+        own = owns(di)
+        cost = tap_local(di)
+        cost = jnp.where(finite, cost, COST_FOR_INVALID)
+    elif method == 2:
+        di = jnp.clip(jnp.floor(d + 0.5).astype(jnp.int32) + int(d0_off),
+                      0, d_ - 1)
+        own = owns(di)
+        d1i = jnp.maximum(di - 1, 0)
+        d3i = jnp.minimum(di + 1, d_ - 1)
+        y1, y2, y3 = tap_local(d1i), tap_local(di), tap_local(d3i)
+        rd1 = d1i.astype(jnp.float32)
+        rd2 = di.astype(jnp.float32)
+        rd3 = d3i.astype(jnp.float32)
+        qa = y1 / (rd1 - rd2) / (rd1 - rd3)
+        qb = y2 / (rd2 - rd1) / (rd2 - rd3)
+        qc = y3 / (rd3 - rd1) / (rd3 - rd2)
+        r = qa + qb + qc
+        p = -(qa * (rd2 + rd3) + qb * (rd1 + rd3) + qc * (rd1 + rd2))
+        q = qa * rd2 * rd3 + qb * rd1 * rd3 + qc * rd1 * rd2
+        dv = d + float(d0_off)
+        quad = r * dv * dv + p * dv + q
+        cost = jnp.where(jnp.floor(d + 0.5) + d0_off < 0,
+                         tap_local(zeros_i),
+                         jnp.where(jnp.floor(d + 0.5) + d0_off >= d_,
+                                   tap_local(jnp.full_like(zeros_i, d_ - 1)),
+                                   quad))
+        cost = jnp.where(finite, cost, COST_FOR_INVALID)
+    else:
+        raise ValueError(f"unknown interpolation method {method}")
+
+    cost = jnp.minimum(cost, th_col)
+    return jnp.where(own & in_image, cost, 0.0).astype(jnp.float32)
+
+
 def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
                     fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
                     min_disp, th_col, scale=1.0, zero=0.0) -> jnp.ndarray:

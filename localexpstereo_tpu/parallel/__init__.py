@@ -1,2 +1,4 @@
-"""Mesh / sharding layer: data-parallel pair batches, spatial halo sharding."""
+"""Mesh / sharding layer: data-parallel pair batches (``batch``/``replica``),
+spatial halo sharding (``volume``), disparity-axis volume sharding at
+production scale (``dvolume``)."""
 from .mesh import data_sharding, make_mesh, replicated  # noqa: F401
