@@ -40,10 +40,19 @@ Extra fields (unless BENCH_FAST=1, each skipped once over budget):
   engine under ``shard_map`` over the mesh 'data' axis (one pair per chip;
   ``parallel/replica.py``), measured at batch=1 on this chip. Its overhead
   vs the primary leg is the per-pair cost of the sharded program.
+- ``replica2_s_per_frame``: the same program with k=2 pairs per device
+  (two waves on this chip), per-pair amortized — the MEASURED wave-scaling
+  evidence behind the v5e-8 estimate.
+- ``mccnn_volume_s``: on-device MC-CNN cost volume at the primary leg's
+  halfH geometry (config 5's front half; the reference needs an offline
+  Torch/CUDA MC-CNN for this).
+- ``batch15_s_per_frame``: BASELINE config 3 — 15 same-shape pairs through
+  the real batch driver (``cli/batch.py``), amortized s/frame from its
+  ``batch_summary.json``.
 - ``v5e8_throughput_s_per_frame_est``: amortized s/frame on a v5e-8 —
-  8 chips each run the per-device program on their own pair concurrently
-  and communication-free, so throughput = replica1 / 8 when measured
-  (else primary / 8).
+  8 chips each run the per-device program on their own pairs concurrently
+  and communication-free, so throughput = replica2 / 8 when measured
+  (else replica1 / 8, else primary / 8).
 
 Env overrides: BENCH_SCALE (default 1.0) scales H/W/ndisp for quick checks;
 BENCH_ITERS / BENCH_PM_ITERS override the sweep counts; BENCH_FAST=1 skips
@@ -270,19 +279,26 @@ def bench_cones():
     return elapsed, bad
 
 
-def bench_replica(scale=1.0, iters=5, pm_iters=2):
+def bench_replica(scale=1.0, iters=5, pm_iters=2, npairs=1):
     """The deployment-shape program: single-pair engine under shard_map over
     the 'data' mesh axis, one pair per device, measured on this host's
-    devices (batch = n_devices). Per-pair time should match the single-pair
-    engine (the per-device program is identical); on a v5e-8 the same
-    executable spreads 8 pairs over 8 chips."""
+    devices. Per-pair time should match the single-pair engine (the
+    per-device program is identical); on a v5e-8 the same executable spreads
+    8 pairs over 8 chips.
+
+    ``npairs > 1`` measures WAVE scaling on the one real chip (k = npairs
+    pairs per device, processed as sequential waves inside the sharded
+    program): the amortized per-pair time of a multi-wave batch is the
+    measured de-risking evidence for the v5e-8 ÷8 throughput estimate —
+    it includes every per-wave dispatch/rotation overhead the estimate
+    assumes away."""
     import jax
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.parallel import mesh as mesh_mod
     from localexpstereo_tpu.parallel.replica import ReplicaSolver
 
     ndev = 1  # one real chip in this environment
-    probs = [build_problem(scale, seed=i) for i in range(ndev)]
+    probs = [build_problem(scale, seed=i) for i in range(npairs)]
     ims = np.stack([p[0] for p in probs])
     vols = np.stack([p[1] for p in probs])
     w, nd = probs[0][3], probs[0][4]
@@ -306,7 +322,61 @@ def bench_replica(scale=1.0, iters=5, pm_iters=2):
     # is safe: the timed run is ~20x shorter than STALL_S.
     t0 = time.perf_counter()
     solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
-    return (time.perf_counter() - t0) / ndev
+    return (time.perf_counter() - t0) / npairs
+
+
+def bench_mccnn(scale=1.0, reps=3):
+    """Config 5's front half: the on-device MC-CNN cost volume at the
+    primary leg's halfH geometry (1436x992, ndisp 145 at scale 1), bundled
+    trained weights. The reference depends on an OFFLINE Torch/CUDA MC-CNN
+    for the same volumes (``README.md:74-91``); this closes
+    images -> volume -> solve end-to-end on one device."""
+    import jax
+    import jax.numpy as jnp
+    from localexpstereo_tpu.models import mccnn
+
+    img, _, h, w, nd = build_problem(scale)
+    params = mccnn.load_default_params()
+    im0 = jnp.asarray(img)
+    out = mccnn.cost_volume(params, im0, im0, ndisp=nd)
+    jax.block_until_ready(out)          # compile + warm
+    beat()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = mccnn.cost_volume(params, im0, im0, ndisp=nd)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_batch15(iters=5, pm_iters=2, npairs=15):
+    """BASELINE config 3: the 15-pair batch through the REAL batch driver
+    (``cli/batch.py``), on a same-shape set built from the bundled cones
+    pair (15 symlinked dataset dirs -> one shape group -> one ReplicaSolver
+    batch, npairs waves on this 1-chip host). Returns the driver's own
+    ``batch_summary.json`` amortized s/frame (timed run is optimization
+    only; precompile runs before the clock, matching time.txt semantics)."""
+    import shutil
+    import tempfile
+    from localexpstereo_tpu.cli import batch as batch_cli
+
+    root = tempfile.mkdtemp(prefix="bench_batch15_")
+    try:
+        dirs = []
+        for i in range(npairs):
+            d = os.path.join(root, f"cones{i:02d}")
+            os.makedirs(d)
+            for f in os.listdir(CONES_DIR):
+                os.symlink(os.path.join(CONES_DIR, f), os.path.join(d, f))
+            dirs.append(d)
+        ns = batch_cli.parse_args(
+            ["-mode", "MiddV2", "-targetDirs", *dirs,
+             "-outputDir", os.path.join(root, "out"),
+             "-iterations", str(iters), "-pmIterations", str(pm_iters)])
+        summary = batch_cli.run_batch(ns)
+        g = summary["groups"][0]
+        return g["amortized_s_per_frame"], g["batch"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def bench_videorate(scale=1.0, frames=4):
@@ -367,12 +437,21 @@ def main():
         legs = [
             ("videorate", lambda: {"videorate_s_per_frame":
                                    round(bench_videorate(scale), 3)}, 120),
+            ("mccnn", lambda: {"mccnn_volume_s":
+                               round(bench_mccnn(scale), 3)}, 90),
             ("cones", lambda: (lambda sb: {
                 "cones_doDual_s": round(sb[0], 3),
                 "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
             ("replica", lambda: {"replica1_s_per_frame":
                                  round(bench_replica(scale, iters,
                                                      pm_iters), 3)}, 300),
+            ("replica2", lambda: {"replica2_s_per_frame":
+                                  round(bench_replica(scale, iters, pm_iters,
+                                                      npairs=2), 3)}, 300),
+            ("batch15", lambda: (lambda sb: {
+                "batch15_s_per_frame": sb[0],
+                "batch15_pairs": sb[1]})(bench_batch15(iters, pm_iters)),
+             240),
         ]
         for name, fn, min_budget in legs:
             if left() < min_budget:
@@ -382,7 +461,13 @@ def main():
                 out.update(fn())
             except Exception as e:  # extras must never sink the primary
                 out[f"{name}_error"] = str(e)[:200]
-        if "replica1_s_per_frame" in out:
+        # v5e-8 estimate: prefer the measured 2-wave amortized per-pair time
+        # (includes every per-wave overhead the ÷8 assumes away), else the
+        # 1-pair sharded program, else the primary leg.
+        if "replica2_s_per_frame" in out:
+            out["v5e8_throughput_s_per_frame_est"] = \
+                round(out["replica2_s_per_frame"] / 8.0, 3)
+        elif "replica1_s_per_frame" in out:
             out["v5e8_throughput_s_per_frame_est"] = \
                 round(out["replica1_s_per_frame"] / 8.0, 3)
     out["elapsed_s"] = round(time.time() - T0, 1)
