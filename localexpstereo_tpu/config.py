@@ -86,9 +86,9 @@ class Options:
     #: halfH bench with a tau/255 per-sample bound (-volPrecision).
     vol_precision: str = "uint8"
     #: V3 unary sampling backend (-unaryBackend): "auto" (XLA slab hoist) |
-    #: "xla" | "dma" (per-region TPU DMA kernel) | "dma_rows" (strip-mined
-    #: one-DMA-per-region-row kernel). The DMA backends only engage on the
-    #: real TPU and fall back to XLA when their VMEM gates fail.
+    #: "xla" | "dma" (per-region fused Pallas DMA kernel). "dma" only
+    #: engages on the real TPU and falls back to XLA when its VMEM gate
+    #: fails.
     unary_backend: str = "auto"
     warmup: int = 1  # precompile executables before the timed run (time.txt
                      # then measures pure optimization, TimeStamper semantics)

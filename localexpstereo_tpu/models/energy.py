@@ -30,7 +30,7 @@ from ..ops import (guided, pairwise, unary_pallas, unary_volume, unary_warp,
 #: Test hook: when True, the engine's DMA-backend gates accept non-TPU
 #: backends (the samplers then run in interpret mode because interpret is
 #: derived from ``jax.default_backend() != "tpu"``). CI (CPU) uses it to
-#: exercise the "dma"/"dma_rows" integration end-to-end. CAVEAT: the flag
+#: exercise the "dma" integration end-to-end. CAVEAT: the flag
 #: is read at TRACE time and is not part of any jit cache key — set it
 #: before the first solver with a DMA-backend cfg is traced in the
 #: process, and do not toggle it between same-cfg solvers. Tests only;
@@ -78,18 +78,11 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
-    unary_backend: str = "auto"   # "auto" (= xla) | "xla" | "dma" (opt-in
-    # per-region TPU DMA kernel) | "dma_rows" (opt-in strip-mined rows
-    # kernel — one DMA per region row of the regular color grid)
-    #: V3 slab/GF window layout. "auto" (= "rm") keeps region-major
-    #: [N, D, F, F]; "rl" opts into region-on-lanes [D, F, F, N]. The rl
-    #: layout was built on the lane-waste hypothesis (F = 62 pads to 128
-    #: lanes) but A/B measures ~2% SLOWER on v5e at the fine layer
-    #: (tools/ab_rl.py: 1019 vs 1039 ms greedy, 1519 vs 1545 ms GC) — XLA's
-    #: own tiling already handles the trailing [F, F] dims well, and the
-    #: extra transposes eat the savings. Kept oracle-tested
-    #: (tests/test_unary_rl.py) like the rejected block layout.
-    unary_layout: str = "auto"
+    #: V3 raw-sampling backend: "auto" (= xla) | "xla" (dense slab hoist)
+    #: | "dma" (opt-in per-region fused Pallas DMA kernel). The pruned
+    #: alternates (block, region-on-lanes, strip-mined dma_rows) lost
+    #: their hardware A/Bs — ARCHITECTURE.md round-4 log has the table.
+    unary_backend: str = "auto"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     #: Dequantization of a uint8-stored cost volume (vol_dtype="uint8"):
     #: cost_f32 = q * vol_scale + vol_zero. 1.0/0.0 = unquantized storage.
@@ -137,7 +130,7 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
 
     ``dma_align`` widens the volume's trailing padding to the DMA sampler's
     uint8 tile alignment ((32, 128) + a lane tile of clamp slack). Only the
-    opt-in "dma"/"dma_rows" unary backends need it — solvers set it from
+    opt-in "dma" unary backend needs it — solvers set it from
     their backend choice. It must NOT be on by default: the wider row pitch
     taxes every slab gather of the default XLA path (+0.7 s/frame on the
     halfH bench — the round-4 HEAD-vs-6b50199 bisect, ARCHITECTURE.md).
@@ -208,15 +201,10 @@ def build_energy(im0_bgr: np.ndarray, im1_bgr: np.ndarray,
             # for uint8 — so clamped aligned-superset windows need
             # H % sub == 0 (+1 tile) and W % 128 == 0 (+1 tile) of slack.
             sub = 32 if dma_align and vol_host.dtype == np.uint8 else 8
-            # uint8 gets an extra lane tile of slack: the strip-mined rows
-            # kernel (sample_windows_dma_rows) clamps its row-strip start
-            # down by up to 2 tiles, so it needs +256 beyond the row
-            # extent; the per-region kernel only needs +128.
-            lane_pad = 256 if sub == 32 else 128
             hv, wv = vol_host.shape[2:]
             vol_host = np.pad(vol_host,
                               ((0, 0), (0, 0), (0, (-hv) % sub + sub),
-                               (0, (-wv) % 128 + lane_pad)))
+                               (0, (-wv) % 128 + 128)))
         if vol_transform is not None:
             # Sharded placement hook (parallel/volume.py): receives the
             # padded host volume, returns the device layout (e.g. overlapped
@@ -370,10 +358,9 @@ def _device_energy_tensors(im0_bgr, im1_bgr, vol0, vol1, *,
                 jnp.dtype(vol_dtype))
         hv0, wv0 = h + 2 * vp, w + 2 * vp
         sub = 32 if dma_align and vol.dtype == jnp.uint8 else 8
-        lane_pad = 256 if sub == 32 else 128
         vol = jnp.pad(vol, ((0, 0), (0, 0),
                             (vp, vp + (-hv0) % sub + sub),
-                            (vp, vp + (-wv0) % 128 + lane_pad)))
+                            (vp, vp + (-wv0) % 128 + 128)))
         if dma_align and params.filter_name in ("GF", "GFfloat"):
             st = jnp.stack(stacks)
             gf_stack = jnp.pad(st, ((0, 0), (0, 0),
@@ -475,194 +462,6 @@ def dense_filter_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     return gwin, mwin, iwin, fmask
 
 
-def dense_filter_windows_block(data: EnergyData, cfg: EnergyConfig,
-                               mode: int, coy, cox, s: int, nby: int,
-                               nbx: int, target_off: int, target_size: int):
-    """:func:`dense_filter_windows` in BLOCK layout with channels LEADING
-    ([C, nby, F, nbx, F]) — the hot V3 unary path never materializes the
-    region-major transpose of the (large) stat windows, and trailing
-    3/6-channel dims never land on the lane axis (>100x tile padding)."""
-    r = cfg.params.guided_radius
-    fsize = target_size + 2 * r
-    foff = target_off - r
-    oy0 = coy + (s + foff + cfg.pad)
-    ox0 = cox + (s + foff + cfg.pad)
-    t = 4 * s
-
-    def blk(arr_hwc):
-        return windows.dense_windows_block_leading(
-            jnp.moveaxis(arr_hwc, -1, 0), oy0, ox0, nby, nbx, t, fsize)
-
-    gwin = blk(data.guide[mode])
-    mwin = blk(data.gf_mean[mode])
-    iwin = blk(data.gf_inv[mode])
-    fmask = in_image_block(cfg, coy, cox, s, nby, nbx, foff, fsize)
-    return gwin, mwin, iwin, fmask
-
-
-def in_image_block(cfg: EnergyConfig, coy, cox, s: int, nby: int, nbx: int,
-                   off: int, size: int) -> jnp.ndarray:
-    """[nby, F, nbx, F] float32 in-image mask in block layout; window (m, k)
-    starts at image coords (coy + s + off + m*4s, cox + s + off + k*4s)."""
-    t = 4 * s
-    m_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 0)
-    i_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 1)
-    k_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 2)
-    j_i = jax.lax.broadcasted_iota(jnp.int32, (nby, size, nbx, size), 3)
-    ys = coy + s + off + m_i * t + i_i
-    xs = cox + s + off + k_i * t + j_i
-    inside = ((xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height))
-    return inside.astype(jnp.float32)
-
-
-def dense_volume_slabs_block(data: EnergyData, cfg: EnergyConfig, mode: int,
-                             coy, cox, s: int, nby: int, nbx: int,
-                             target_off: int, target_size: int,
-                             vol_row_base=None):
-    """:func:`dense_volume_slabs` in BLOCK layout [D, nby, F, nbx, F]."""
-    r = cfg.params.guided_radius
-    fsize = target_size + 2 * r
-    if vol_row_base is None:
-        vol_row_base = cfg.vol_pad
-    oy0 = coy + (s + target_off - r) + vol_row_base
-    ox0 = cox + (s + target_off - r + cfg.vol_pad)
-    return windows.dense_windows_block_leading(data.vol[mode], oy0, ox0,
-                                               nby, nbx, 4 * s, fsize)
-
-
-def unary_windows_block(data: EnergyData, cfg: EnergyConfig, mode: int,
-                        proposals: jnp.ndarray, coy, cox, s: int, nby: int,
-                        nbx: int, target_off: int, target_size: int,
-                        stat_blocks, slab_block) -> jnp.ndarray:
-    """Block-layout fast path of :func:`unary_windows` (V3 linear term + GF).
-
-    The whole pipeline — tent-weight slab reduction, guided filtering —
-    runs in [nby, F, nbx, F] layout; only the final [N, S, S] cost is
-    transposed to region-major order (a few MB instead of the [N, D, F, F]
-    slabs). Semantics identical to :func:`unary_windows`.
-    """
-    r = cfg.params.guided_radius
-    ss = target_size
-    foff = target_off - r
-
-    raw = unary_volume.sample_slabs_block(
-        slab_block, proposals, coy + s + foff, cox + s + foff, 4 * s,
-        nby, nbx, min_disp=cfg.min_disp, th_col=cfg.params.th_col,
-        scale=cfg.vol_scale, zero=cfg.vol_zero)
-    if stat_blocks is not None:
-        gwin, mwin, iwin, fmask = stat_blocks
-        q = guided.filter_windows_block(raw, gwin, mwin, iwin, fmask, r)
-    else:
-        q = raw
-    q = q[:, r:r + ss, :, r:r + ss]
-    q = windows.block_to_regions(q)                      # [N, S, S]
-
-    # Validity + in-image masking on the (small) region-major result.
-    iy = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0).reshape(-1)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 1).reshape(-1)
-    tox = cox + s + target_off + ix * (4 * s)
-    toy = coy + s + target_off + iy * (4 * s)
-    valid = validity.valid_windows(proposals, tox, toy, ss, cfg.min_disp,
-                                   cfg.max_disp)
-    iyg = jax.lax.broadcasted_iota(jnp.int32, (ss, ss), 0)
-    ixg = jax.lax.broadcasted_iota(jnp.int32, (ss, ss), 1)
-    ysg = toy[:, None, None] + iyg[None]
-    xsg = tox[:, None, None] + ixg[None]
-    tmask = ((xsg >= 0) & (xsg < cfg.width) & (ysg >= 0)
-             & (ysg < cfg.height)).astype(jnp.float32)
-    q = jnp.where(valid, q, COST_FOR_INVALID)
-    return q * tmask
-
-
-def dense_filter_windows_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
-                            ox: jnp.ndarray, oy: jnp.ndarray, coy, cox,
-                            s: int, nby: int, nbx: int, target_off: int,
-                            target_size: int):
-    """:func:`dense_filter_windows` in REGION-ON-LANES layout: guide/mean
-    [3, F, F, N], inv [6, F, F, N], mask [F, F, N]."""
-    r = cfg.params.guided_radius
-    fsize = target_size + 2 * r
-    foff = target_off - r
-    oy0 = coy + (s + foff + cfg.pad)
-    ox0 = cox + (s + foff + cfg.pad)
-    t = 4 * s
-
-    def rl(arr_hwc):
-        return windows.dense_windows_rl_leading(
-            jnp.moveaxis(arr_hwc, -1, 0), oy0, ox0, nby, nbx, t, fsize)
-
-    gwin = rl(data.guide[mode])
-    mwin = rl(data.gf_mean[mode])
-    iwin = rl(data.gf_inv[mode])
-    fmask = in_image_windows_rl(cfg, ox, oy, foff, fsize)
-    return gwin, mwin, iwin, fmask
-
-
-def in_image_windows_rl(cfg: EnergyConfig, ox: jnp.ndarray, oy: jnp.ndarray,
-                        off: int, size: int) -> jnp.ndarray:
-    """[size, size, N] float32 in-image mask (rl layout)."""
-    iy = jax.lax.broadcasted_iota(jnp.int32, (size, size, 1), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (size, size, 1), 1)
-    ys = oy[None, None, :] + off + iy
-    xs = ox[None, None, :] + off + ix
-    inside = ((xs >= 0) & (xs < cfg.width) & (ys >= 0) & (ys < cfg.height))
-    return inside.astype(jnp.float32)
-
-
-def dense_volume_slabs_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
-                          coy, cox, s: int, nby: int, nbx: int,
-                          target_off: int, target_size: int,
-                          vol_row_base=None):
-    """:func:`dense_volume_slabs` in REGION-ON-LANES layout [D, F, F, N]."""
-    r = cfg.params.guided_radius
-    fsize = target_size + 2 * r
-    if vol_row_base is None:
-        vol_row_base = cfg.vol_pad
-    oy0 = coy + (s + target_off - r) + vol_row_base
-    ox0 = cox + (s + target_off - r + cfg.vol_pad)
-    return windows.dense_windows_rl_leading(data.vol[mode], oy0, ox0,
-                                            nby, nbx, 4 * s, fsize)
-
-
-def unary_windows_rl(data: EnergyData, cfg: EnergyConfig, mode: int,
-                     proposals: jnp.ndarray, ox: jnp.ndarray,
-                     oy: jnp.ndarray, target_off: int, target_size: int,
-                     stat_windows_rl, vol_slabs_rl) -> jnp.ndarray:
-    """Region-on-lanes fast path of :func:`unary_windows` (V3 linear term).
-
-    The whole hot pipeline — tent-weight slab reduction and guided filtering
-    — runs with the region index on the 128 vector lanes; only the final
-    [N, S, S] cost transposes back to region-major order (a few MB vs the
-    hundreds-of-MB slabs). Semantics identical to :func:`unary_windows`
-    (same within-window reduction orders; cross-checked by
-    ``tests/test_unary_rl.py``).
-    """
-    r = cfg.params.guided_radius
-    foff = target_off - r
-    fox = ox + foff
-    foy = oy + foff
-
-    raw = unary_volume.sample_slabs_rl(
-        vol_slabs_rl, proposals, fox, foy, cfg.height, cfg.width,
-        min_disp=cfg.min_disp, th_col=cfg.params.th_col,
-        scale=cfg.vol_scale, zero=cfg.vol_zero)
-    if cfg.params.filter_name in ("GF", "GFfloat"):
-        gwin, mwin, iwin, fmask = stat_windows_rl
-        q = guided.filter_windows_rl(raw, gwin, mwin, iwin, fmask, r)
-    else:
-        q = raw
-    q = q[r:r + target_size, r:r + target_size]
-    q = jnp.moveaxis(q, -1, 0)                    # [N, S, S]
-
-    tox = ox + target_off
-    toy = oy + target_off
-    valid = validity.valid_windows(proposals, tox, toy, target_size,
-                                   cfg.min_disp, cfg.max_disp)
-    tmask = in_image_windows(cfg, ox, oy, target_off, target_size)
-    q = jnp.where(valid, q, COST_FOR_INVALID)
-    return q * tmask
-
-
 def slice_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                        ox: jnp.ndarray, oy: jnp.ndarray, target_off: int,
                        target_size: int):
@@ -741,7 +540,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   target_off: int, target_size: int,
                   stat_windows=None, vol_slabs=None,
                   exi_slabs=None, vol_dma: bool = False,
-                  vol_dma_rows=None, dshard=None) -> jnp.ndarray:
+                  dshard=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -769,25 +568,10 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
     fox = ox + foff
     foy = oy + foff
 
-    fused_gf = ((vol_dma or vol_dma_rows is not None)
-                and data.gf_stack is not None
+    fused_gf = (vol_dma and data.gf_stack is not None
                 and cfg.params.filter_name in ("GF", "GFfloat"))
     if cfg.kind == "volume":
-        if vol_dma_rows is not None:
-            # Strip-mined rows kernel: one DMA per region row of the
-            # regular color grid; ``vol_dma_rows`` = (nbx, nby, stride).
-            nbx_, nby_, stride_ = vol_dma_rows
-            raw = unary_pallas.sample_windows_dma_rows(
-                data.vol[mode], proposals, fox[0], foy[::nbx_],
-                cfg.vol_pad, cfg.vol_pad, f=fsize, height=cfg.height,
-                width=cfg.width, min_disp=cfg.min_disp,
-                th_col=cfg.params.th_col, nbx=nbx_, nby=nby_,
-                stride=stride_,
-                stats=data.gf_stack[mode] if fused_gf else None,
-                r_gf=r if fused_gf else 0,
-                scale=cfg.vol_scale, zero=cfg.vol_zero,
-                interpret=jax.default_backend() != "tpu")
-        elif vol_dma:
+        if vol_dma:
             # Fused HBM-window-gather + tent kernel (ops/unary_pallas.py):
             # no hoisted slab array, traffic = exactly the window bytes.
             # With fused_gf the guided filter runs in the same VMEM pass,

@@ -161,36 +161,28 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # color step (the reference's Reusable cache, StereoEnergy.h:616-626).
     # All window extraction is DENSE (ops/windows.py): the color's regions
     # form a regular grid at stride 4s, so vmapped dynamic slices (which XLA
-    # serializes) are never needed on this path. (A BLOCK-layout variant of
-    # the V3 unary pipeline — energy.unary_windows_block — was A/B'd here:
-    # it avoids the [N, D, F, F] slab transpose but XLA executes the 5-D
-    # block ops ~2.5x slower per proposal step on v5e, so the region-major
-    # path stays the default; the block path remains oracle-tested.)
-    use_block = False
-    # V3 raw sampling backend: the fused DMA gather+tent(+GF) kernel on TPU
-    # (ops/unary_pallas.py) needs no hoisted slab array at all. Gated by
-    # the VMEM footprint of its double-buffered aligned slab. OPT-IN
-    # ("dma"), not the default: the per-region DMA must fetch a
-    # 128-lane-aligned superset, ~4x the window's true bytes at the fine
-    # layer, and measures ~2 s/frame SLOWER than the XLA dense slab hoist
-    # on the halfH benchmark (19.9 vs 17.9 s full schedule) even with the
-    # guided filter fused in. A strip-mined variant (one DMA per region
-    # row) is the way to make it win; until then "auto" = XLA.
+    # serializes) are never needed on this path.
+    #
+    # V3 raw-sampling backends: exactly TWO live layouts (the reference
+    # keeps one benchmarked alternate the same way, GuidedFilter.h:137-141).
+    # "xla" (default): dense slab hoist + tent contraction. "dma" (opt-in):
+    # the fused Pallas DMA gather+tent(+GF) kernel (ops/unary_pallas.py),
+    # which needs no hoisted slab at all, gated by the VMEM footprint of
+    # its double-buffered aligned slab. It is NOT the default because the
+    # per-region DMA must fetch a 128-lane-aligned superset (~4x the
+    # window's true bytes at the fine layer) and measured ~2 s/frame
+    # slower than the XLA hoist on the halfH bench (19.9 vs 17.9 bf16).
+    # Pruned alternates (losers on hardware; see ARCHITECTURE.md round-4
+    # "unary backend A/B" table for the record): block layout (~2.5x
+    # slower 5-D ops), region-on-lanes "rl" (~2% slower, transposes beat
+    # lane fill), strip-mined "dma_rows" (never compiled on real TPU).
     use_vol_dma = (cfg.kind == "volume" and cfg.interp == 1 and not local
                    and dshard is None
                    and cfg.unary_backend == "dma"
                    and (jax.default_backend() == "tpu"
                         or energy_mod.DMA_INTERPRET))
-    # Strip-mined variant ("dma_rows"): one DMA per region ROW of the
-    # regular color grid — ~4-5x less aligned-superset overfetch than the
-    # per-region kernel at the fine layer (ops/unary_pallas.py).
-    use_vol_rows = (cfg.kind == "volume" and cfg.interp == 1 and not local
-                    and dshard is None
-                    and cfg.unary_backend == "dma_rows"
-                    and (jax.default_backend() == "tpu"
-                         or energy_mod.DMA_INTERPRET))
     fused_gf = False
-    if use_vol_dma or use_vol_rows:
+    if use_vol_dma:
         f_win = ss + 2 * cfg.params.guided_radius   # unary_windows' fsize
         sub_ = 32 if jnp.dtype(data.vol.dtype) == jnp.uint8 else 8
         fr = (f_win + sub_ - 1) // sub_ * sub_ + sub_
@@ -198,62 +190,19 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         itemsize = jnp.dtype(data.vol.dtype).itemsize
         fused_gf = (data.gf_stack is not None
                     and cfg.params.filter_name in ("GF", "GFfloat"))
-        if use_vol_rows:
-            wv_ = int(data.vol.shape[3])
-            extent = (nbx - 1) * t4 + f_win + 256
-            wc = (extent + 127) // 128 * 128
-            slab_bytes = 2 * d_ * fr * wc * itemsize
-            if fused_gf:
-                slab_bytes += 2 * 12 * fr * wc * 4
-            use_vol_rows = (wc <= wv_
-                            and slab_bytes <= 100 * 1024 * 1024)
-            fused_gf = fused_gf and use_vol_rows
-        else:
-            fc = (f_win + 127) // 128 * 128 + 128
-            slab_bytes = 2 * d_ * fr * fc * itemsize
-            if fused_gf:
-                slab_bytes += 2 * 12 * fr * fc * 4
-            use_vol_dma = slab_bytes <= 80 * 1024 * 1024
-            fused_gf = fused_gf and use_vol_dma
-    # Region-on-lanes layout for the V3 slab+GF pipeline ([D, F, F, N]
-    # windows, region index on the 128 vector lanes — the fused min-cut
-    # kernel's trick). OPT-IN ("rl"), not the default: the A/B on v5e
-    # (tools/ab_rl.py, fine layer s=14/N=468) measures it ~2% slower than
-    # region-major — XLA already tiles the trailing [F, F] dims well and
-    # the layout transposes cost more than the lane fill saves.
-    use_rl = (cfg.kind == "volume" and cfg.interp == 1 and not use_block
-              and not use_vol_dma and not use_vol_rows and dshard is None
-              and cfg.params.filter_name in ("GF", "GFfloat", "")
-              and cfg.unary_layout == "rl")
-    if use_rl and not local:
-        use_rl = energy_mod.volume_slab_bytes(
-            data, ox_u.shape[0], ss,
-            cfg.params.guided_radius) <= cfg.slab_budget
+        fc = (f_win + 127) // 128 * 128 + 128
+        slab_bytes = 2 * d_ * fr * fc * itemsize
+        if fused_gf:
+            slab_bytes += 2 * 12 * fr * fc * 4
+        use_vol_dma = slab_bytes <= 80 * 1024 * 1024
+        fused_gf = fused_gf and use_vol_dma
     stat_windows = vol_slabs = exi_slabs = None
-    stat_windows_rl = vol_slabs_rl = None
-    stat_blocks = slab_block = None
-    if use_rl:
-        if cfg.params.filter_name:
-            stat_windows_rl = energy_mod.dense_filter_windows_rl(
-                data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx,
-                -s, ss)
-        vol_slabs_rl = energy_mod.dense_volume_slabs_rl(
-            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
-            vol_row_base=vol_row_base)
-    elif use_block:
-        if cfg.params.filter_name:
-            stat_blocks = energy_mod.dense_filter_windows_block(
-                data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss)
-        slab_block = energy_mod.dense_volume_slabs_block(
-            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
-            vol_row_base=vol_row_base)
-    elif cfg.params.filter_name and not fused_gf:
+    if cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
     if (cfg.kind == "volume"
             and (cfg.interp == 1 or local or dshard is not None)
-            and not use_block
-            and not use_vol_dma and not use_vol_rows and not use_rl):
+            and not use_vol_dma):
         n_regions = ox_u.shape[0]
         if local or dshard is not None or energy_mod.volume_slab_bytes(
                 data, n_regions, ss,
@@ -314,20 +263,9 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
         if local:
             props = _slice_rows(props, m_start, nby, nbx, nby_loc)
 
-        if use_rl:
-            pcost = energy_mod.unary_windows_rl(
-                data, cfg, mode, props, ox_u, oy_u, -s, ss,
-                stat_windows_rl, vol_slabs_rl)
-        elif use_block:
-            pcost = energy_mod.unary_windows_block(
-                data, cfg, mode, props, coy_u, cox, s, nby_u, nbx, -s, ss,
-                stat_blocks, slab_block)
-        else:
-            pcost = energy_mod.unary_windows(
-                data, cfg, mode, props, ox_u, oy_u, -s, ss, stat_windows,
-                vol_slabs, exi_slabs, vol_dma=use_vol_dma,
-                vol_dma_rows=((nbx, nby_u, t4) if use_vol_rows else None),
-                dshard=dshard)
+        pcost = energy_mod.unary_windows(
+            data, cfg, mode, props, ox_u, oy_u, -s, ss, stat_windows,
+            vol_slabs, exi_slabs, vol_dma=use_vol_dma, dshard=dshard)
         if step_active is not None:
             # Inactive steps (random-perturbation decay early-stop,
             # ``Proposer.h:149-152``) propose at COST_FOR_INVALID so nothing
@@ -677,8 +615,7 @@ class LocalExpansionSolver:
                  max_vdisp: float = 0.0, vol0: Optional[np.ndarray] = None,
                  vol1: Optional[np.ndarray] = None, seed: int = 0,
                  interp: int = 1, vol_dtype: str = "uint8",
-                 stats_backend: str = "host", unary_layout: str = "auto",
-                 unary_backend: str = "auto"):
+                 stats_backend: str = "host", unary_backend: str = "auto"):
         self.im0 = np.asarray(im0_bgr, np.float32)
         self.im1 = np.asarray(im1_bgr, np.float32)
         self.params = params
@@ -690,7 +627,6 @@ class LocalExpansionSolver:
         self.interp = interp
         self.vol_dtype = vol_dtype
         self.stats_backend = stats_backend
-        self.unary_layout = unary_layout
         self.unary_backend = unary_backend
         self.seed = seed
         self.unit_sizes: List[int] = []
@@ -722,18 +658,13 @@ class LocalExpansionSolver:
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             stats_backend=self.stats_backend,
-            dma_align=self.unary_backend in ("dma", "dma_rows"))
+            dma_align=self.unary_backend == "dma")
         self.cfg = self._apply_cfg_overrides(self.cfg)
 
     def _apply_cfg_overrides(self, cfg):
-        if self.unary_layout != "auto" or self.unary_backend != "auto":
+        if self.unary_backend != "auto":
             import dataclasses
-            kw = {}
-            if self.unary_layout != "auto":
-                kw["unary_layout"] = self.unary_layout
-            if self.unary_backend != "auto":
-                kw["unary_backend"] = self.unary_backend
-            cfg = dataclasses.replace(cfg, **kw)
+            cfg = dataclasses.replace(cfg, unary_backend=self.unary_backend)
         return cfg
 
     def update_frame(self, im0_bgr, im1_bgr, vol0=None, vol1=None,
@@ -772,7 +703,7 @@ class LocalExpansionSolver:
             self.min_disp, self.max_vdisp, vol0, vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             stats_backend="device",
-            dma_align=self.unary_backend in ("dma", "dma_rows"))
+            dma_align=self.unary_backend == "dma")
         assert self._apply_cfg_overrides(cfg) == old_cfg, \
             "frame update changed the static config"
         self.data = data

@@ -166,99 +166,6 @@ def filter_windows(p: jnp.ndarray, guide: jnp.ndarray, mean: jnp.ndarray,
     return q
 
 
-def _boxsum_block(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Zero-padded box sum over the within-window axes of a block-layout
-    array [(C,) nby, F, nbx, F] (the last four axes)."""
-    out = boxfilter._box1d_cumsum(x, radius, x.ndim - 3)
-    return boxfilter._box1d_cumsum(out, radius, x.ndim - 1)
-
-
-@functools.partial(jax.jit, static_argnames=("radius",))
-def filter_windows_block(p: jnp.ndarray, guide: jnp.ndarray,
-                         mean: jnp.ndarray, inv: jnp.ndarray,
-                         mask: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """:func:`filter_windows` in BLOCK layout (the hot V3 unary path).
-
-    Channels ride a LEADING axis — trailing size-1/3/6 dims would land on
-    the 128-wide lane dimension and blow tile memory up >100x (the same
-    layout hazard postprocess documents).
-
-    Args:
-      p, mask: [nby, F, nbx, F]; guide, mean: [3, nby, F, nbx, F];
-      inv: [6, nby, F, nbx, F].
-    Returns:
-      [nby, F, nbx, F] filtered costs (same math / same within-window cumsum
-      order as :func:`filter_windows`).
-    """
-    mask = mask.astype(p.dtype)
-    p0 = p * mask
-    n = _boxsum_block(mask, radius)
-    inv_n = 1.0 / jnp.maximum(n, 1e-8)
-
-    stacked = jnp.concatenate([p0[None], p0[None] * guide], 0)
-    sums = _boxsum_block(stacked, radius)                # [4, ...]
-    mean_p = sums[0] * inv_n
-    cov = sums[1:] * inv_n[None] - mean * mean_p[None]   # [3, ...]
-
-    ir, ig, ib = cov[0], cov[1], cov[2]
-    a_r = inv[0] * ir + inv[1] * ig + inv[2] * ib
-    a_g = inv[1] * ir + inv[3] * ig + inv[4] * ib
-    a_b = inv[2] * ir + inv[4] * ig + inv[5] * ib
-    b = mean_p - a_r * mean[0] - a_g * mean[1] - a_b * mean[2]
-
-    ab = jnp.stack([a_r * mask, a_g * mask, a_b * mask, b * mask], axis=0)
-    ab_sums = _boxsum_block(ab, radius)
-    q = (ab_sums[0] * guide[0] + ab_sums[1] * guide[1]
-         + ab_sums[2] * guide[2] + ab_sums[3]) * inv_n
-    return q
-
-
-def _boxsum_rl(x: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Zero-padded box sum over the window axes of a region-on-lanes array
-    [(C,) F, F, N] (the two axes before the region/lane axis)."""
-    out = boxfilter._box1d_cumsum(x, radius, x.ndim - 3)
-    return boxfilter._box1d_cumsum(out, radius, x.ndim - 2)
-
-
-@functools.partial(jax.jit, static_argnames=("radius",))
-def filter_windows_rl(p: jnp.ndarray, guide: jnp.ndarray,
-                      mean: jnp.ndarray, inv: jnp.ndarray,
-                      mask: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """:func:`filter_windows` in REGION-ON-LANES layout [F, F, N].
-
-    The region index rides the 128 vector lanes (fully utilized at the fine
-    layer's N = 468) instead of the window's F = 62 columns (52% idle);
-    channels ride a LEADING axis as in the block variant.
-
-    Args:
-      p, mask: [F, F, N]; guide, mean: [3, F, F, N]; inv: [6, F, F, N].
-    Returns:
-      [F, F, N] filtered costs (same math / same within-window cumsum order
-      as :func:`filter_windows`).
-    """
-    mask = mask.astype(p.dtype)
-    p0 = p * mask
-    n = _boxsum_rl(mask, radius)
-    inv_n = 1.0 / jnp.maximum(n, 1e-8)
-
-    stacked = jnp.concatenate([p0[None], p0[None] * guide], 0)
-    sums = _boxsum_rl(stacked, radius)                   # [4, F, F, N]
-    mean_p = sums[0] * inv_n
-    cov = sums[1:] * inv_n[None] - mean * mean_p[None]   # [3, F, F, N]
-
-    ir, ig, ib = cov[0], cov[1], cov[2]
-    a_r = inv[0] * ir + inv[1] * ig + inv[2] * ib
-    a_g = inv[1] * ir + inv[3] * ig + inv[4] * ib
-    a_b = inv[2] * ir + inv[4] * ig + inv[5] * ib
-    b = mean_p - a_r * mean[0] - a_g * mean[1] - a_b * mean[2]
-
-    ab = jnp.stack([a_r * mask, a_g * mask, a_b * mask, b * mask], axis=0)
-    ab_sums = _boxsum_rl(ab, radius)
-    q = (ab_sums[0] * guide[0] + ab_sums[1] * guide[1]
-         + ab_sums[2] * guide[2] + ab_sums[3]) * inv_n
-    return q
-
-
 def filter_image(p: jnp.ndarray, stats: GuidedFilterStats,
                  radius: int) -> jnp.ndarray:
     """Whole-image guided filtering (reference ``filter_mat`` semantics)."""

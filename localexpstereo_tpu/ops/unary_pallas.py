@@ -337,226 +337,3 @@ def sample_windows_dma(vol: jnp.ndarray, proposals: jnp.ndarray,
     )(oyv, oxv, pa, pb, pc, gx0, gy0, *operands)
     return out[:n]
 
-
-# --------------------------------------------------------- strip-mined rows
-# One DMA per REGION ROW instead of one per region: regions of a color form
-# a regular grid (grid.py), so a row's windows all live in one [D, FR, WC]
-# horizontal strip of the volume. The per-region aligned-superset DMA
-# overfetches ~4-5x the true window bytes at the fine layer (fc is
-# 128-lane-aligned per region); the row strip is fetched once and regions
-# slice it at STATIC lane offsets (j * stride) after a single dynamic
-# sub-128 roll per region chunk. Per color step the volume traffic drops to
-# ~1x the strip bytes.
-
-
-def _make_rows_kernel(d_: int, f: int, fr: int, wc: int, hv: int, wv: int,
-                      nbx: int, stride: int, d0_off: float, th_col: float,
-                      height: int, width: int, r_gf: int, sub: int,
-                      scale: float, zero: float):
-
-    def kernel(foyr_ref, fox0_ref, pa_ref, pb_ref, pc_ref, vol_ref, *rest):
-        if r_gf > 0:
-            stats_ref, out_ref, slab, sslab, sem, ssem = rest
-        else:
-            out_ref, slab, sem = rest
-            stats_ref = sslab = ssem = None
-        m = pl.program_id(0)
-
-        def aligned(row):
-            oy = foyr_ref[row]
-            ox0 = fox0_ref[0]
-            oy_al = jnp.minimum(oy // sub, (hv - fr) // sub) * sub
-            ox_al = jnp.minimum(ox0 // 128, (wv - wc) // 128) * 128
-            return oy_al, ox_al, oy - oy_al, ox0 - ox_al
-
-        def row_dma(slot, row):
-            oy_al, ox_al, _, _ = aligned(row)
-            return pltpu.make_async_copy(
-                vol_ref.at[:, pl.ds(oy_al, fr), pl.ds(ox_al, wc)],
-                slab.at[slot], sem.at[slot])
-
-        def stats_dma(slot, row):
-            oy_al, ox_al, _, _ = aligned(row)
-            return pltpu.make_async_copy(
-                stats_ref.at[:, pl.ds(oy_al, fr), pl.ds(ox_al, wc)],
-                sslab.at[slot], ssem.at[slot])
-
-        slot = jax.lax.rem(m, 2)
-
-        @pl.when(m == 0)
-        def _():
-            row_dma(0, 0).start()
-            if r_gf > 0:
-                stats_dma(0, 0).start()
-
-        nrows = pl.num_programs(0)
-
-        @pl.when(m + 1 < nrows)
-        def _():
-            row_dma(jax.lax.rem(m + 1, 2), m + 1).start()
-            if r_gf > 0:
-                stats_dma(jax.lax.rem(m + 1, 2), m + 1).start()
-
-        row_dma(slot, m).wait()
-        if r_gf > 0:
-            stats_dma(slot, m).wait()
-        _, _, dy, dx = aligned(m)
-
-        # f + 256 lanes of static-offset chunk cover any dx < 256 (the
-        # wrapper guarantees wc >= (nbx-1)*stride + f + 256).
-        cw = f + 256
-        iy_r = jax.lax.broadcasted_iota(jnp.int32, (fr, f), 0
-                                        ).astype(jnp.float32)
-        ix_r = jax.lax.broadcasted_iota(jnp.int32, (fr, f), 1
-                                        ).astype(jnp.float32)
-        iy = jax.lax.broadcasted_iota(jnp.int32, (f, f), 0
-                                      ).astype(jnp.float32)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (f, f), 1
-                                      ).astype(jnp.float32)
-        dgrid = jax.lax.broadcasted_iota(jnp.int32, (d_, 1, 1), 0
-                                         ).astype(jnp.float32)
-        # foyr/fox0 carry ARRAY coords (image + base); recover image
-        # coords from the bases held in fox0_ref[1] (col) / [2] (row).
-        gx0_im = (fox0_ref[0] - fox0_ref[1]).astype(jnp.float32)
-        gy0_im = (foyr_ref[m] - fox0_ref[2]).astype(jnp.float32)
-
-        for j in range(nbx):
-            i = m * nbx + j
-            off = j * stride
-            chunk = _slab_f32(slab[slot][:, :, off:off + cw])
-            full = pltpu.roll(chunk, -dx, 2)
-            win = full[:, :, :f]                        # [d, fr, f]
-            xs_r = gx0_im + jnp.float32(off) + ix_r
-            ys_r = (gy0_im - dy.astype(jnp.float32)) + iy_r
-            d_r = pa_ref[i] * xs_r + pb_ref[i] * ys_r + pc_ref[i]
-            dv = jnp.clip(d_r + d0_off, 0.0, float(d_ - 1))
-            tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
-            cost_r = jnp.sum(win * tent, axis=0)
-            if scale != 1.0 or zero != 0.0:
-                cost_r = cost_r * scale + zero
-            cost = cost_r[0:f]
-            for k in range(1, fr - f + 1):
-                cost = jnp.where(dy == k, cost_r[k:k + f], cost)
-            xs = gx0_im + jnp.float32(off) + ix
-            ys = gy0_im + iy
-            d = pa_ref[i] * xs + pb_ref[i] * ys + pc_ref[i]
-            cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
-            cost = jnp.minimum(cost, th_col)
-            in_im = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
-            p = jnp.where(in_im, cost, 0.0)
-            if r_gf == 0:
-                out_ref[0, j] = p
-                continue
-
-            schunk = sslab[slot][:, :, off:off + cw]
-            sfull = pltpu.roll(schunk, -dx, 2)
-            swin_r = sfull[:, :, :f]
-            sw = swin_r[:, 0:f]
-            for k in range(1, fr - f + 1):
-                sw = jnp.where(dy == k, swin_r[:, k:k + f], sw)
-            g0, g1, g2 = sw[0], sw[1], sw[2]
-            m0, m1, m2 = sw[3], sw[4], sw[5]
-            i0, i1, i2, i3, i4, i5 = (sw[6], sw[7], sw[8], sw[9], sw[10],
-                                      sw[11])
-            maskf = in_im.astype(jnp.float32)
-            nbox = _box2d(maskf, r_gf)
-            inv_n = 1.0 / jnp.maximum(nbox, 1e-8)
-            s_p = _box2d(p, r_gf)
-            s0 = _box2d(p * g0, r_gf)
-            s1 = _box2d(p * g1, r_gf)
-            s2 = _box2d(p * g2, r_gf)
-            mean_p = s_p * inv_n
-            c0 = s0 * inv_n - m0 * mean_p
-            c1 = s1 * inv_n - m1 * mean_p
-            c2 = s2 * inv_n - m2 * mean_p
-            a_r = i0 * c0 + i1 * c1 + i2 * c2
-            a_g = i1 * c0 + i3 * c1 + i4 * c2
-            a_b = i2 * c0 + i4 * c1 + i5 * c2
-            b = mean_p - a_r * m0 - a_g * m1 - a_b * m2
-            ab0 = _box2d(a_r * maskf, r_gf)
-            ab1 = _box2d(a_g * maskf, r_gf)
-            ab2 = _box2d(a_b * maskf, r_gf)
-            ab3 = _box2d(b * maskf, r_gf)
-            out_ref[0, j] = (ab0 * g0 + ab1 * g1 + ab2 * g2 + ab3) * inv_n
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("f", "height", "width",
-                                             "min_disp", "th_col", "r_gf",
-                                             "nbx", "nby", "stride",
-                                             "scale", "zero", "interpret"))
-def sample_windows_dma_rows(vol: jnp.ndarray, proposals: jnp.ndarray,
-                            fox0, foy_rows: jnp.ndarray, row_base,
-                            col_base, *, f: int, height: int, width: int,
-                            min_disp: float, th_col: float, nbx: int,
-                            nby: int, stride: int,
-                            stats: jnp.ndarray = None, r_gf: int = 0,
-                            scale: float = 1.0, zero: float = 0.0,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Strip-mined variant of :func:`sample_windows_dma` for a REGULAR
-    region grid: one [D, FR, WC] strip DMA per region row, regions sliced
-    at static lane offsets ``j * stride``.
-
-    Args:
-      proposals: [nby * nbx, 4] planes, ROW-MAJOR over the (nby, nbx) grid.
-      fox0: traced scalar — IMAGE x of column 0's window origin (window j
-        starts at ``fox0 + j * stride``).
-      foy_rows: [nby] IMAGE y of each row's window origin.
-      stride: static column stride (4 * unit_size for the color grid).
-    Returns: [nby * nbx, F, F] float32 (same semantics as
-      :func:`sample_windows_dma`).
-    """
-    d_ = vol.shape[0]
-    hv, wv = vol.shape[1], vol.shape[2]
-    sub = 32 if jnp.dtype(vol.dtype) == jnp.uint8 else 8
-    fr = min((f + sub - 1) // sub * sub + sub, hv)
-    extent = (nbx - 1) * stride + f + 256
-    wc = min((extent + 127) // 128 * 128, wv)
-    assert hv % sub == 0 and wv % 128 == 0, \
-        "volume needs DMA alignment padding (build_energy appends it)"
-    assert wc >= (nbx - 1) * stride + f + 256, \
-        "volume W padding too small for the rows kernel (needs +256 slack)"
-
-    # Scalar prefetch: [nby] array-coord row origins; [3] (fox0_array,
-    # col_base, row_base) so the kernel recovers image coords.
-    foyr = (foy_rows + row_base).astype(jnp.int32)
-    fox0_arr = jnp.stack([
-        (fox0 + col_base).astype(jnp.int32),
-        jnp.int32(col_base), jnp.int32(row_base)])
-    pa = proposals[:, 0]
-    pb = proposals[:, 1]
-    pc = proposals[:, 2]
-
-    kernel = _make_rows_kernel(d_, f, fr, wc, hv, wv, nbx, stride,
-                               float(-min_disp), float(th_col), height,
-                               width, r_gf, sub, float(scale),
-                               float(zero))
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    scratch = [pltpu.VMEM((2, d_, fr, wc), vol.dtype)]
-    operands = [vol]
-    if r_gf > 0:
-        assert stats is not None and stats.shape[1:] == (hv, wv)
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2, stats.shape[0], fr, wc), stats.dtype))
-        operands.append(stats)
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
-    else:
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(nby,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nbx, f, f), lambda m, *_: (m, 0, 0, 0)),
-        scratch_shapes=scratch,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nby, nbx, f, f), jnp.float32),
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(foyr, fox0_arr, pa, pb, pc, *operands)
-    return out.reshape(nby * nbx, f, f)

@@ -376,84 +376,6 @@ def sample_slabs_dshard(slab: jnp.ndarray, proposals: jnp.ndarray,
     return jnp.where(own & in_image, cost, 0.0).astype(jnp.float32)
 
 
-def sample_slabs_rl(slab: jnp.ndarray, proposals: jnp.ndarray,
-                    fox: jnp.ndarray, foy: jnp.ndarray, height, width, *,
-                    min_disp, th_col, scale=1.0, zero=0.0) -> jnp.ndarray:
-    """Tent-weight reduction in REGION-ON-LANES layout.
-
-    Same semantics as :func:`sample_slabs_aligned` (windows at the aligned
-    origins (fox, foy), linear d-interpolation incl. the clamp-to-end-slices
-    behavior of ``CostVolumeEnergy.h:69-98``), with the region index on the
-    last (lane) axis: at F = 62 the [N, D, F, F] layout pads lanes 62 -> 128
-    and wastes >2x of the dominant slab bandwidth; [D, F, F, N] fills them.
-
-    Args:
-      slab: [D, F, F, N] volume slabs (any float dtype; compute is f32).
-      proposals: [N, 4]; fox, foy: [N] window origins (global, may be < 0).
-    Returns:
-      [F, F, N] float32 raw costs (0 outside the image).
-    """
-    d_, size = slab.shape[0], slab.shape[1]
-    d0_off = float(-min_disp)
-    iy = jax.lax.broadcasted_iota(jnp.float32, (size, size, 1), 0)
-    ix = jax.lax.broadcasted_iota(jnp.float32, (size, size, 1), 1)
-    xs = fox[None, None, :].astype(jnp.float32) + ix
-    ys = foy[None, None, :].astype(jnp.float32) + iy
-    a = proposals[None, None, :, 0]
-    b = proposals[None, None, :, 1]
-    c = proposals[None, None, :, 2]
-    d = a * xs + b * ys + c                      # [F, F, N]
-    dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
-
-    dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1, 1), 0)
-    tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
-    cost = jnp.sum(slab.astype(jnp.float32) * tent, axis=0)
-    cost = _decode(cost, scale, zero)
-    cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
-    cost = jnp.minimum(cost, th_col)
-
-    in_image = ((xs >= 0) & (xs < width) & (ys >= 0) & (ys < height))
-    return jnp.where(in_image, cost, 0.0).astype(jnp.float32)
-
-
-def sample_slabs_block(slab_block: jnp.ndarray, proposals: jnp.ndarray,
-                       oy0, ox0, t: int, nby: int, nbx: int, *,
-                       min_disp: float, th_col: float,
-                       scale: float = 1.0, zero: float = 0.0) -> jnp.ndarray:
-    """Tent-weight reduction over BLOCK-layout slabs [D, nby, F, nbx, F].
-
-    Same semantics as :func:`sample_slabs_aligned` but the slabs stay in the
-    untransposed extraction layout (``ops.windows.dense_windows_block``), so
-    the [N, D, F, F] transpose of hundreds of MB never materializes. Window
-    (m, k)'s origin is (ox0 + k*t, oy0 + m*t) in global image coordinates.
-
-    Returns the raw cost in block layout [nby, F, nbx, F], float32.
-    """
-    d_, nby_, f, nbx_, f2 = slab_block.shape
-    d0_off = float(-min_disp)
-
-    m_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 0)
-    i_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 1)
-    k_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 2)
-    j_i = jax.lax.broadcasted_iota(jnp.float32, (nby, f, nbx, f2), 3)
-    xs = ox0 + k_i * t + j_i
-    ys = oy0 + m_i * t + i_i
-
-    pr = proposals.reshape(nby, nbx, 4)
-    a = pr[:, None, :, None, 0]
-    b = pr[:, None, :, None, 1]
-    c = pr[:, None, :, None, 2]
-    d = a * xs + b * ys + c
-    dv = jnp.clip(d + d0_off, 0.0, float(d_ - 1))
-
-    dgrid = jax.lax.broadcasted_iota(jnp.float32, (d_, 1, 1, 1, 1), 0)
-    tent = jnp.maximum(0.0, 1.0 - jnp.abs(dgrid - dv[None]))
-    cost = jnp.sum(slab_block.astype(jnp.float32) * tent, axis=0)
-    cost = _decode(cost, scale, zero)
-    cost = jnp.where(jnp.isfinite(d), cost, COST_FOR_INVALID)
-    return jnp.minimum(cost, th_col)
-
-
 def _slab_chunk(vol, proposals, ox, oy, *, size, min_disp, th_col,
                 scale=1.0, zero=0.0):
     slab, ocx, ocy = slice_slabs(vol, ox, oy, size)

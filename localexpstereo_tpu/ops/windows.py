@@ -78,26 +78,6 @@ def dense_windows_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
     return x.reshape((nby * nbx, c, f, f))
 
 
-def dense_windows_block(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
-                        t: int, f: int) -> jnp.ndarray:
-    """[Hp, Wp, ...] -> [nby, F, nbx, F, ...] windows in BLOCK layout.
-
-    Same windows as :func:`dense_windows` but WITHOUT the region-major
-    transpose: window (m, k) is ``out[m, :, k, :]``. The hot unary pipeline
-    stays in this layout end-to-end (slab reduction + guided filter) so the
-    expensive 5-D transpose of the [N, D, F, F] slabs never materializes;
-    only the final [N, S, S] cost is transposed (ops/windows.py module doc).
-    """
-    trailing = arr.shape[2:]
-    hblk = (nby - 1) * t + f
-    wblk = (nbx - 1) * t + f
-    blk = jax.lax.dynamic_slice(
-        arr, (oy0, ox0) + (0,) * len(trailing), (hblk, wblk) + trailing)
-    x = _extract_axis(blk, nby, t, f, axis=0)    # [nby, F, Wblk, ...]
-    x = _extract_axis(x, nbx, t, f, axis=2)      # [nby, F, nbx, F, ...]
-    return x
-
-
 def dense_windows_block_leading(arr: jnp.ndarray, oy0, ox0, nby: int,
                                 nbx: int, t: int, f: int) -> jnp.ndarray:
     """[C, Hp, Wp] -> [C, nby, F, nbx, F] windows in BLOCK layout."""
@@ -108,27 +88,3 @@ def dense_windows_block_leading(arr: jnp.ndarray, oy0, ox0, nby: int,
     x = _extract_axis(blk, nby, t, f, axis=1)    # [C, nby, F, Wblk]
     x = _extract_axis(x, nbx, t, f, axis=3)      # [C, nby, F, nbx, F]
     return x
-
-
-def dense_windows_rl_leading(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
-                             t: int, f: int) -> jnp.ndarray:
-    """[C, Hp, Wp] -> [C, F, F, nby*nbx] REGION-ON-LANES windows.
-
-    Same windows as :func:`dense_windows_leading` but with the region index
-    LAST so it rides the 128-wide vector lanes: at the fine layer
-    (F = 62, N = 468) the region-major [N, F, F] layout pads F -> 128 lanes
-    and wastes >2x of every vreg / HBM transfer, while [F, F, N] fills them
-    (the same trick as the fused min-cut kernel's rl layout,
-    ops/mincut_pallas.py). Region (m, k) is ``out[..., m * nbx + k]``.
-    """
-    c = arr.shape[0]
-    x = dense_windows_block_leading(arr, oy0, ox0, nby, nbx, t, f)
-    x = jnp.transpose(x, (0, 2, 4, 1, 3))        # [C, F, F, nby, nbx]
-    return x.reshape((c, f, f, nby * nbx))
-
-
-def block_to_regions(x: jnp.ndarray) -> jnp.ndarray:
-    """[nby, F, nbx, F, ...] block windows -> region-major [N, F, F, ...]."""
-    nby, f, nbx, f2 = x.shape[:4]
-    x = jnp.moveaxis(x, 2, 1)
-    return x.reshape((nby * nbx, f, f2) + x.shape[4:])

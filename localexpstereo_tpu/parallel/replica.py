@@ -151,7 +151,7 @@ class ReplicaSolver:
                 vol0=None if vols0 is None else vols0[src],
                 vol1=None if vols1 is None else vols1[src], vol_pad=vol_pad,
                 vol_dtype=vol_dtype,
-                dma_align=unary_backend in ("dma", "dma_rows"))
+                dma_align=unary_backend == "dma")
             datas.append(data)
         if mincut_backend is not None:
             cfg = dataclasses.replace(cfg, mincut_backend=mincut_backend)

@@ -158,84 +158,8 @@ def test_dma_sampler_uint8_volume_exact_decode():
                                rtol=1e-5, atol=1e-6)
 
 
-def _rows_case(seed, d, h, w, vp, nby, nbx, stride, f, dtype, tau=0.8):
-    rng = np.random.default_rng(seed)
-    scale, zero = 1.0, 0.0
-    volf = rng.random((d, h + 2 * vp, w + 2 * vp), np.float32)
-    if dtype == np.uint8:
-        scale = 2.0 * tau / 255.0
-        vol = np.clip(np.rint(volf / scale), 0, 255).astype(np.uint8)
-        sub = 32
-    else:
-        vol = volf.astype(dtype)
-        sub = 8
-    vol = np.pad(vol, ((0, 0), (0, (-vol.shape[1]) % sub + sub),
-                       (0, (-vol.shape[2]) % 128 + 256)))
-    n = nby * nbx
-    props = np.stack([rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
-                      rng.uniform(0, d - 1, n), np.zeros(n)],
-                     -1).astype(np.float32)
-    fox0 = int(rng.integers(-vp // 2, 3))
-    foy_rows = (int(rng.integers(-vp // 2, 3))
-                + stride * np.arange(nby)).astype(np.int32)
-    return vol, props, fox0, foy_rows, scale, zero, tau
-
-
-@pytest.mark.parametrize("dtype", [np.float32, np.uint8])
-def test_dma_rows_matches_per_region_kernel(dtype):
-    """Strip-mined rows kernel == the per-region DMA kernel on a regular
-    grid (both in interpret mode), f32 and uint8-quantized volumes."""
-    d, h, w, vp = 6, 40, 120, 12
-    nby, nbx, stride, f = 3, 4, 12, 9
-    vol, props, fox0, foy_rows, scale, zero, tau = _rows_case(
-        0, d, h, w, vp, nby, nbx, stride, f, dtype)
-    fox = (fox0 + stride * np.tile(np.arange(nbx), nby)).astype(np.int32)
-    foy = np.repeat(foy_rows, nbx).astype(np.int32)
-
-    want = unary_pallas.sample_windows_dma(
-        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
-        jnp.asarray(foy), vp, vp, f=f, height=h, width=w, min_disp=0.0,
-        th_col=tau, rb=4, scale=scale, zero=zero, interpret=True)
-    got = unary_pallas.sample_windows_dma_rows(
-        jnp.asarray(vol), jnp.asarray(props), jnp.int32(fox0),
-        jnp.asarray(foy_rows), vp, vp, f=f, height=h, width=w,
-        min_disp=0.0, th_col=tau, nbx=nbx, nby=nby, stride=stride,
-        scale=scale, zero=zero, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-6)
-
-
-def test_dma_rows_fused_gf_matches_per_region():
-    """Rows kernel with the in-pass guided filter == per-region fused-GF
-    kernel."""
-    d, h, w, vp = 5, 36, 100, 12
-    nby, nbx, stride, f, r = 2, 3, 16, 12, 3
-    vol, props, fox0, foy_rows, scale, zero, tau = _rows_case(
-        1, d, h, w, vp, nby, nbx, stride, f, np.uint8)
-    rng = np.random.default_rng(9)
-    stats = np.zeros((12,) + vol.shape[1:], np.float32)
-    stats[:, :h + 2 * vp, :w + 2 * vp] = rng.random(
-        (12, h + 2 * vp, w + 2 * vp)).astype(np.float32)
-    fox = (fox0 + stride * np.tile(np.arange(nbx), nby)).astype(np.int32)
-    foy = np.repeat(foy_rows, nbx).astype(np.int32)
-
-    want = unary_pallas.sample_windows_dma(
-        jnp.asarray(vol), jnp.asarray(props), jnp.asarray(fox),
-        jnp.asarray(foy), vp, vp, f=f, height=h, width=w, min_disp=0.0,
-        th_col=tau, rb=2, stats=jnp.asarray(stats), r_gf=r, scale=scale,
-        zero=zero, interpret=True)
-    got = unary_pallas.sample_windows_dma_rows(
-        jnp.asarray(vol), jnp.asarray(props), jnp.int32(fox0),
-        jnp.asarray(foy_rows), vp, vp, f=f, height=h, width=w,
-        min_disp=0.0, th_col=tau, nbx=nbx, nby=nby, stride=stride,
-        stats=jnp.asarray(stats), r_gf=r, scale=scale, zero=zero,
-        interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-
-
 @pytest.mark.slow
-@pytest.mark.parametrize("backend", ["dma", "dma_rows"])
+@pytest.mark.parametrize("backend", ["dma"])
 def test_engine_integration_dma_backends_interpret(backend, monkeypatch):
     """Full solver with the DMA unary backends (interpret mode via the
     energy.DMA_INTERPRET hook) on a uint8 volume: the planted plane is

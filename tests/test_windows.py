@@ -68,47 +68,3 @@ def test_dense_windows_block_exceeds_array_is_padded():
             np.asarray(got[i]),
             np.asarray(arr[m * t:m * t + f, k * t:k * t + f]))
 
-
-def test_block_unary_matches_legacy_unary():
-    """The block-layout V3 unary pipeline (slab tent + GF, all in
-    [C, nby, F, nbx, F] layout) must agree with the legacy region-major
-    path — same semantics, only the memory layout differs."""
-    import numpy as np
-    from localexpstereo_tpu.config import PARAMS_GF
-    from localexpstereo_tpu.models import energy as energy_mod
-
-    rng = np.random.default_rng(3)
-    h, w, nd = 30, 41, 7
-    img = (rng.random((h, w, 3)) * 255).astype(np.float32)
-    vol = rng.random((nd, h, w), np.float32)
-    params = PARAMS_GF.replace(windR=4, th_col=0.8)
-    s, nby, nbx = 3, 3, 4
-    from localexpstereo_tpu.models import grid
-    pad = grid.required_padding([s], params.windR)
-    vol_pad = grid.required_volume_padding(w, h, [s], params.guided_radius)
-    data, cfg = energy_mod.build_energy(img, img, params, float(nd - 1),
-                                        pad, vol0=vol, vol1=vol,
-                                        vol_pad=vol_pad)
-    coy, cox = -s, -s   # color (0, 0) canvas origin
-    n = nby * nbx
-    iy, ix = np.divmod(np.arange(n), nbx)
-    ox = (ix * 4 * s).astype(np.int32)
-    oy = (iy * 4 * s).astype(np.int32)
-    props = np.stack([rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
-                      rng.uniform(0, nd - 1, n), np.zeros(n)],
-                     -1).astype(np.float32)
-    ss = 3 * s
-
-    import jax.numpy as jnp
-    legacy = energy_mod.unary_windows(
-        data, cfg, 0, jnp.asarray(props), jnp.asarray(ox), jnp.asarray(oy),
-        -s, ss)
-    stat_blocks = energy_mod.dense_filter_windows_block(
-        data, cfg, 0, coy, cox, s, nby, nbx, -s, ss)
-    slab_block = energy_mod.dense_volume_slabs_block(
-        data, cfg, 0, coy, cox, s, nby, nbx, -s, ss)
-    block = energy_mod.unary_windows_block(
-        data, cfg, 0, jnp.asarray(props), coy, cox, s, nby, nbx, -s, ss,
-        stat_blocks, slab_block)
-    np.testing.assert_allclose(np.asarray(block), np.asarray(legacy),
-                               rtol=1e-5, atol=1e-5)

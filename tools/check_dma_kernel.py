@@ -83,7 +83,6 @@ def main():
     check(jnp.bfloat16)
     check_uint8()         # the engine's default volume storage dtype
     check_fused_gf()
-    check_rows()
     print("OK")
 
 
@@ -118,41 +117,6 @@ def check_uint8():
     diff = float(jnp.abs(out - ref).max())
     print(f"uint8: max |tpu - interpret| = {diff}")
     assert diff == 0.0, "uint8 DMA kernel mismatch on real TPU"
-
-
-def check_rows():
-    """Strip-mined rows kernel (uint8 + fused GF, the A/B candidate):
-    hardware vs interpret mode on a regular grid."""
-    rng = np.random.default_rng(3)
-    D, H, W = 24, 96, 360
-    pad, tau = 24, 0.5
-    nby, nbx, stride, f, r = 3, 5, 24, 38, 4
-    scale = 2.0 * tau / 255.0
-    hv0, wv0 = H + 2 * pad, W + 2 * pad
-    hv = (hv0 + 31) // 32 * 32 + 32
-    wv = (wv0 + 127) // 128 * 128 + 256
-    vol = np.zeros((D, hv, wv), np.uint8)
-    vol[:, pad:pad + H, pad:pad + W] = np.clip(
-        np.rint(rng.random((D, H, W)) / scale), 0, 255).astype(np.uint8)
-    stats = np.zeros((12, hv, wv), np.float32)
-    stats[:, pad:pad + H, pad:pad + W] = rng.random(
-        (12, H, W)).astype(np.float32)
-    n = nby * nbx
-    props = np.stack([rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
-                      rng.uniform(0, D - 1, n),
-                      np.zeros(n)], -1).astype(np.float32)
-    fox0 = -7
-    foy_rows = (-5 + stride * np.arange(nby)).astype(np.int32)
-    args = (jnp.asarray(vol), jnp.asarray(props), jnp.int32(fox0),
-            jnp.asarray(foy_rows), pad, pad)
-    kw = dict(f=f, height=H, width=W, min_disp=0.0, th_col=tau, nbx=nbx,
-              nby=nby, stride=stride, stats=jnp.asarray(stats), r_gf=r,
-              scale=scale, zero=0.0)
-    out = unary_pallas.sample_windows_dma_rows(*args, **kw)
-    ref = unary_pallas.sample_windows_dma_rows(*args, **kw, interpret=True)
-    diff = float(jnp.abs(out - ref).max())
-    print(f"rows(u8+gf): max |tpu - interpret| = {diff}")
-    assert diff < 1e-3, "rows kernel mismatch on real TPU"
 
 
 if __name__ == "__main__":

@@ -70,8 +70,7 @@ def check_dma():
     for name, fn in (("dma_f32", lambda: cdk.check(jnp.float32)),
                      ("dma_bf16", lambda: cdk.check(jnp.bfloat16)),
                      ("dma_uint8", cdk.check_uint8),
-                     ("dma_fused_gf", cdk.check_fused_gf),
-                     ("dma_rows", cdk.check_rows)):
+                     ("dma_fused_gf", cdk.check_fused_gf)):
         try:
             fn()
             emit(name, True)
