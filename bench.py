@@ -223,9 +223,15 @@ def bench_primary(scale, iters, pm_iters):
                                       "BENCH_VOL_DTYPE", "uint8"),
                                   unary_backend=os.environ.get(
                                       "BENCH_UNARY_BACKEND", "auto"))
-    solver.add_layer(max(1, int(w * 0.01)), LAYER0_PROPOSERS)
-    solver.add_layer(max(1, int(w * 0.03)), COARSE_PROPOSERS)
-    solver.add_layer(max(1, int(w * 0.09)), COARSE_PROPOSERS)
+    sizes_env = os.environ.get("BENCH_LAYERS", "")
+    if sizes_env:
+        sizes = [int(x) for x in sizes_env.split(",")]
+    else:
+        sizes = [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
+                 max(1, int(w * 0.09))]
+    for i, sz in enumerate(sizes):
+        solver.add_layer(sz, LAYER0_PROPOSERS if i == 0
+                         else COARSE_PROPOSERS)
     solver.set_evaluator(_BeatEvaluator())
 
     # Warmup: 1 pm + 1 gc sweep compiles the EXACT executables of the full

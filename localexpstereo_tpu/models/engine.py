@@ -446,11 +446,11 @@ def layer_sweep(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "unit_size", "mode",
-                                             "hb_loc"))
+                                             "hb_loc", "dshard_meta"))
 def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
               key: jax.Array, *, unit_size: int, mode: int, hb_loc: int = 0,
               m_start=None, own_rmask=None, vol_row_base=None,
-              seed_labeling_m=None, dshard=None):
+              seed_labeling_m=None, dshard=None, dshard_meta=None):
     """Random per-cell initialization (``initCurrentFast``,
     ``FastGCStereo.h:94-115``): one random label at a random pixel of each
     layer-0 cell, assigned cell-wide, unary evaluated on cell + R.
@@ -464,7 +464,15 @@ def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     The sharding kwargs mirror :func:`_color_body`: labels for ALL cells are
     drawn (bit-identical RNG), the unary runs on cell rows
     [m_start, m_start + hb_loc) only, and acceptance is limited to
-    ``own_rmask`` so per-shard results merge exactly."""
+    ``own_rmask`` so per-shard results merge exactly.
+
+    D-sharding passes its traced scalars as ``dshard=(d_base, d_owned)``
+    and the STATIC tail as ``dshard_meta=(d_total, axis_name)`` — this
+    function is jitted, so the axis-name string cannot ride in a traced
+    argument; they are recombined into :func:`_color_body`'s 4-tuple
+    convention here."""
+    if dshard is not None:
+        dshard = tuple(dshard) + tuple(dshard_meta)
     s = unit_size
     p = cfg.pad
     wb = -(-cfg.width // s)

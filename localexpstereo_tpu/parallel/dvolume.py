@@ -30,8 +30,16 @@ This module shards the volume's DISPARITY axis instead:
   a speedup mode, and this keeps the communication to one [N, F, F] raw
   window psum per proposal step, riding ICI on real meshes.
 
-Bit-exactness vs the single-device engine is asserted by
-``tests/test_volume_dsharding.py`` for all three interpolation modes.
+Exactness contract (``tests/test_volume_dsharding.py``): the one-owner
+psum MERGE is exact by construction — summing the per-device partials
+reproduces the unsharded sampler BITWISE (asserted for all three
+interpolation modes, incl. uint8 decode). END-TO-END the full solve
+matches the single-device engine to tight float tolerance rather than
+bitwise: the sharded and unsharded programs are different XLA programs,
+and XLA may reassociate the quantized decode into the tent contraction
+differently (observed 1-2 ulp on filtered unaries), while quadratic
+additionally samples through a differently-ordered (oracle-tested)
+gather path on the single-device engine.
 """
 from __future__ import annotations
 
@@ -141,17 +149,20 @@ def dsharded_init_step(data, cfg, key, *, unit_size, mode, dq, d_total,
         data_local = data_sh._replace(vol=data_sh.vol[0])
         d_base = dev * dq
         d_owned = jnp.minimum(dq, jnp.maximum(d_total - d_base, 0))
-        dshard = (d_base, d_owned, d_total, axis_name)
+        # init_step is jitted: traced scalars ride in dshard, the static
+        # tail (plane count, axis name) in dshard_meta.
+        dshard = (d_base, d_owned)
+        meta = (d_total, axis_name)
         if chunked:
             wb = -(-cfg.width // unit_size)
             own = jnp.ones((hb_loc * wb,), bool)
             return engine_mod.init_step(
                 data_local, cfg, key, unit_size=unit_size, mode=mode,
                 hb_loc=hb_loc, m_start=m_start, own_rmask=own,
-                dshard=dshard)
+                dshard=dshard, dshard_meta=meta)
         return engine_mod.init_step(data_local, cfg, key,
                                     unit_size=unit_size, mode=mode,
-                                    dshard=dshard)
+                                    dshard=dshard, dshard_meta=meta)
 
     fn = shard_map(body_fn, mesh=mesh,
                    in_specs=(_data_specs(data, axis_name), P(), P()),
@@ -163,9 +174,10 @@ class ShardedDVolumeSolver(engine_mod.LocalExpansionSolver):
     """:class:`engine.LocalExpansionSolver` whose cost volume shards along
     the DISPARITY axis over a device mesh — the full pipeline (init, greedy
     + GC sweeps, dual view, postprocess, evaluator, checkpointing) is
-    inherited and produces bit-identical results to the single-device
-    engine, at ``1/n + 2/D`` volume residency per device independent of
-    layer geometry (see module docstring; cf. ``parallel/volume.py`` whose
+    inherited and matches the single-device engine to tight float
+    tolerance (module docstring: the psum merge is bitwise, the compiled
+    programs differ), at ``1/n + 2/D`` volume residency per device
+    independent of layer geometry (cf. ``parallel/volume.py`` whose
     H-sharding halo defeats it at production MiddV3 geometry).
 
     ``init_row_chunk`` bounds the whole-image init's per-call slab

@@ -127,10 +127,16 @@ def main():
         rec["edge_delta_noedge_minus_default"] = round(
             rec["noedge"]["bad05_edge"] - rec["default"]["bad05_edge"], 4)
         out["datasets"][name] = rec
-    path = os.path.join(os.path.dirname(__file__), "edge_geometry.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"wrote {path}")
+        # Incremental dump: a multi-hour CPU run must survive a timeout.
+        path = os.path.join(os.path.dirname(__file__), "edge_geometry.json")
+        merged = out
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+            merged["datasets"].update(out["datasets"])
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(f"wrote {path} ({name})")
 
 
 if __name__ == "__main__":
