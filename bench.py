@@ -182,6 +182,15 @@ def left():
     return BUDGET_S - (time.time() - T0)
 
 
+def _layer_sizes(w: int):
+    """Reference layer heuristic (``main.cpp:395-397``) with lane-friendly
+    rounding (``models.grid.lane_friendly_unit``; hardware A/B
+    ``tools/ab_lane_sizes.py``: 43 -> 42 is the one clear win at halfH)."""
+    from localexpstereo_tpu.models.grid import lane_friendly_unit
+    return [lane_friendly_unit(max(1, int(w * f)))
+            for f in (0.01, 0.03, 0.09)]
+
+
 def build_problem(scale: float, seed: int = 0):
     h = max(int(992 * scale), 64)
     w = max(int(1436 * scale), 96)
@@ -227,8 +236,7 @@ def bench_primary(scale, iters, pm_iters):
     if sizes_env:
         sizes = [int(x) for x in sizes_env.split(",")]
     else:
-        sizes = [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
-                 max(1, int(w * 0.09))]
+        sizes = _layer_sizes(w)
     for i, sz in enumerate(sizes):
         solver.add_layer(sz, LAYER0_PROPOSERS if i == 0
                          else COARSE_PROPOSERS)
@@ -310,7 +318,7 @@ def bench_replica(scale=1.0, iters=5, pm_iters=2, npairs=1):
     w, nd = probs[0][3], probs[0][4]
     params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
     mesh = mesh_mod.make_mesh((ndev,), ("data",), jax.devices()[:ndev])
-    sizes = [max(1, int(w * f)) for f in (0.01, 0.03, 0.09)]
+    sizes = _layer_sizes(w)
 
     solver = ReplicaSolver(ims, ims, params, max_disp=float(nd - 1),
                            mesh=mesh, unit_sizes=sizes, vols0=vols,
@@ -401,7 +409,7 @@ def bench_videorate(scale=1.0, frames=4):
     # link is not part of the steady state being measured.
     vol_dev = jnp.asarray(vol)
     params = PARAMS_GF.replace(windR=20, lambda_=0.5, th_col=0.5)
-    sizes = [max(1, int(w * f)) for f in (0.01, 0.03, 0.09)]
+    sizes = _layer_sizes(w)
     stream = StereoStream(params, max_disp=float(nd - 1), unit_sizes=sizes,
                           cold_iterations=5, cold_pm_iterations=2,
                           warm_iterations=1)

@@ -162,7 +162,7 @@ def run_batch(ns) -> dict:
                     for e in es]
             vols0 = np.stack([v[0] for v in vols])
             vols1 = np.stack([v[1] for v in vols])
-            layers = cli_main.v3_layers(w)
+            layers = cli_main.v3_layers(w, opt.lane_friendly)
         else:
             vols0 = vols1 = None
             layers = [5, 15, 25]

@@ -112,6 +112,11 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     # outputDir/debug each evaluation (the headless equivalent of the
     # reference's cv::imshow windows, Evaluator.h:145-160).
     ap.add_argument("--show", type=int, default=0)
+    # Lane-friendly V3 layer sizing (round the width-fraction heuristic
+    # down a few px where the 3s move window then fits the f32 VMEM tile;
+    # models.grid.lane_friendly_unit). Off by default for exact reference
+    # sizing parity.
+    ap.add_argument("--laneFriendly", type=int, default=0)
     ns = ap.parse_args(norm)
 
     return Options(
@@ -123,7 +128,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
         seed=ns.seed, volume=ns.volume, warmup=ns.warmup,
         vol_precision=ns.volPrecision, platform=ns.platform,
         fuse_seeds=ns.fuseSeeds, unary_backend=ns.unaryBackend,
-        show=bool(ns.show))
+        show=bool(ns.show), lane_friendly=bool(ns.laneFriendly))
 
 
 def print_options(opt: Options):
@@ -336,9 +341,16 @@ def v3_error_threshold(target_dir: str) -> float:
     return err
 
 
-def v3_layers(w: int) -> List[int]:
-    return [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
-            max(1, int(w * 0.09))]
+def v3_layers(w: int, lane_friendly: bool = False) -> List[int]:
+    """Reference heuristic {1%, 3%, 9%} of width (``main.cpp:395-397``);
+    with ``lane_friendly`` each size may shrink a few px to fit the f32
+    VMEM tile (:func:`..models.grid.lane_friendly_unit`)."""
+    sizes = [max(1, int(w * 0.01)), max(1, int(w * 0.03)),
+             max(1, int(w * 0.09))]
+    if lane_friendly:
+        from ..models.grid import lane_friendly_unit
+        sizes = [lane_friendly_unit(s) for s in sizes]
+    return sizes
 
 
 def run_midv3(opt: Options):
@@ -348,7 +360,7 @@ def run_midv3(opt: Options):
     h, w = pair.im0.shape[:2]
     vol_l, vol_r = load_v3_volumes(opt.target_dir, opt.volume, pair)
     err = v3_error_threshold(opt.target_dir)
-    layers = v3_layers(w)
+    layers = v3_layers(w, opt.lane_friendly)
     import dataclasses
     solver = _make_solver(pair, opt, layers=layers, vols=(vol_l, vol_r))
     return _run(solver, pair, opt, error_thresh=err, gt_precision=-1.0,

@@ -107,6 +107,12 @@ class Options:
     #: (Evaluator.h:145-160) become constantly-overwritten live_D/live_E
     #: preview files under outputDir/debug (headless TPU hosts).
     show: bool = False
+    #: -laneFriendly 1 rounds the V3 layer sizes down a few pixels where
+    #: that makes the 3s x 3s move window fit the TPU's (8, 128) f32 VMEM
+    #: tile (models.grid.lane_friendly_unit; e.g. halfH 43 -> 42 speeds
+    #: the layer's GC sweep 1.22x on v5e). Default OFF: the exact
+    #: reference sizing (``main.cpp:395-397``) is kept for parity runs.
+    lane_friendly: bool = False
 
     def resolve_smooth_weight(self) -> float:
         """Mode presets (``main.cpp:37-40``): MiddV2 -> 1.0, MiddV3 -> 0.5,

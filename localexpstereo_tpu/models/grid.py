@@ -121,6 +121,42 @@ def required_volume_padding(width: int, height: int, unit_sizes,
     return int(vp)
 
 
+def _f32_tile_pad_ratio(ss: int) -> float:
+    """Padded/logical element ratio of an ``[.., ss, ss]`` f32 plane on the
+    (8, 128) VMEM tile — the footprint every [B, S, S] min-cut plane pays."""
+    return (-(-ss // 8) * 8) * (-(-ss // 128) * 128) / float(ss * ss)
+
+
+def lane_friendly_unit(s: int, *, max_shrink: int = 7,
+                       min_gain: float = 1.5) -> int:
+    """Round a requested unit size DOWN (by at most ``max_shrink``) so the
+    3s x 3s shared window wastes less of the f32 VMEM tile, but only when
+    the padding ratio improves by at least ``min_gain``.
+
+    The reference's layer sizes are width-fraction heuristics
+    (``main.cpp:395-397``: ``int(w * 0.01 / 0.03 / 0.09)``), so a few
+    pixels of cell size carry no semantic weight — but the fused min-cut
+    kernel's [B, S, S] solver planes pad S to the (8, 128) f32 tile, so
+    S = 3*43 = 129 pads 2.09x while S = 126 pads 1.03x.
+
+    The ``min_gain`` threshold encodes the hardware A/B
+    (``tools/ab_lane_sizes.py``, v5e, MiddV3 halfH): 43 -> 42 sped the
+    layer's GC sweep 1.22x (gain 2.03x), while 129 -> 128 (gain only
+    1.34x) REGRESSED the greedy sweep 0.84x — the slab-hoist unary has
+    its own tiling preferences, so only clear min-cut-padding wins are
+    taken."""
+    s = int(s)
+    best, best_ratio = s, _f32_tile_pad_ratio(3 * s)
+    base_ratio = best_ratio
+    for cand in range(max(1, s - max_shrink), s):
+        r = _f32_tile_pad_ratio(3 * cand)
+        if r < best_ratio - 1e-9:
+            best_ratio, best = r, cand
+    if base_ratio / best_ratio >= min_gain:
+        return best
+    return s
+
+
 def required_padding(unit_sizes, window_radius: int) -> int:
     """Margin for the padded global arrays: the update canvas of the largest
     layer can extend up to ~6s beyond the image on the right/bottom, and

@@ -62,3 +62,22 @@ def test_required_padding_covers_slices():
         s_max = max(sizes)
         assert pad >= s_max + r + 1          # filter slice left/top
         assert pad >= 6 * s_max or pad >= 2 * s_max + r + 2
+
+
+def test_lane_friendly_unit():
+    """Rounding rule matches the hardware A/B (tools/ab_lane_sizes.py):
+    halfH sizes [14, 43, 129] -> [14, 42, 129] — only the 3s = 129 window
+    (2.09x f32-tile padding) clears the 1.5x-gain bar; 3s = 387 (1.34x)
+    and small windows (lanes always pad to 128, so the LARGEST s in range
+    already minimizes waste) stay unchanged."""
+    assert grid.lane_friendly_unit(43) == 42
+    for s in (1, 5, 14, 15, 25, 129):
+        assert grid.lane_friendly_unit(s) == s
+    # Never grows, never shrinks past the cap, always >= 1.
+    for s in range(1, 200):
+        s2 = grid.lane_friendly_unit(s)
+        assert 1 <= s2 <= s and s - s2 <= 7
+        # When it does shrink, the padding ratio strictly improves >= 1.5x.
+        if s2 != s:
+            assert (grid._f32_tile_pad_ratio(3 * s)
+                    / grid._f32_tile_pad_ratio(3 * s2)) >= 1.5
