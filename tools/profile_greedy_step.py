@@ -86,12 +86,16 @@ def main():
           f"plan={len(plan)} steps")
 
     # ---- hoists (once per color step) ----
-    stat_fn = jax.jit(lambda: energy_mod.dense_filter_windows(
-        data, cfg, 0, ox, oy, coy, cox, s, layer.nby, layer.nbx, -s, ss))
-    _, stat_windows = timeit("hoist: GF stat windows", stat_fn)
-    slab_fn = jax.jit(lambda: energy_mod.dense_volume_slabs(
-        data, cfg, 0, coy, cox, s, layer.nby, layer.nbx, -s, ss))
-    t_slab, vol_slabs = timeit("hoist: volume slabs", slab_fn)
+    # NOTE: pass device arrays as ARGUMENTS — a zero-arg closure bakes
+    # `data` (volume + stats, 100s of MB at full scale) into the HLO as
+    # constants, and the tunneled remote-compile helper rejects the
+    # request body with HTTP 413.
+    stat_fn = jax.jit(lambda d, ox_, oy_: energy_mod.dense_filter_windows(
+        d, cfg, 0, ox_, oy_, coy, cox, s, layer.nby, layer.nbx, -s, ss))
+    _, stat_windows = timeit("hoist: GF stat windows", stat_fn, data, ox, oy)
+    slab_fn = jax.jit(lambda d: energy_mod.dense_volume_slabs(
+        d, cfg, 0, coy, cox, s, layer.nby, layer.nbx, -s, ss))
+    t_slab, vol_slabs = timeit("hoist: volume slabs", slab_fn, data)
     gb = vol_slabs.size * vol_slabs.dtype.itemsize / 1e9
     print(f"    (slab array {gb:.2f} GB {vol_slabs.dtype})")
 
@@ -113,19 +117,21 @@ def main():
     # ---- unary pieces ----
     fox = ox + (-s - r)
     foy = oy + (-s - r)
-    tent_fn = jax.jit(lambda pr: unary_volume.sample_slabs_aligned(
-        vol_slabs, pr, fox, foy, cfg.height, cfg.width,
+    tent_fn = jax.jit(lambda vs, pr: unary_volume.sample_slabs_aligned(
+        vs, pr, fox, foy, cfg.height, cfg.width,
         min_disp=cfg.min_disp, th_col=cfg.params.th_col,
         scale=cfg.vol_scale, zero=cfg.vol_zero))
-    t_tent, raw = timeit("unary: tent contraction", tent_fn, props)
+    t_tent, raw = timeit("unary: tent contraction", tent_fn, vol_slabs,
+                         props)
     gwin, mwin, iwin, fmask = stat_windows
     t_gf, _ = timeit("unary: guided filter", jax.jit(
-        lambda rw: guided.filter_windows(rw, gwin, mwin, iwin, fmask, r)),
-        raw)
+        lambda rw, gw, mw, iw, fm: guided.filter_windows(
+            rw, gw, mw, iw, fm, r)),
+        raw, gwin, mwin, iwin, fmask)
     t_unary, _ = timeit("unary: full (tent+GF+mask)", jax.jit(
-        lambda pr: energy_mod.unary_windows(
-            data, cfg, 0, pr, ox, oy, -s, ss, stat_windows, vol_slabs)),
-        props)
+        lambda d, sw, vs, pr: energy_mod.unary_windows(
+            d, cfg, 0, pr, ox, oy, -s, ss, sw, vs)),
+        data, stat_windows, vol_slabs, props)
 
     # ---- full color steps ----
     def full(do_gc):
