@@ -95,7 +95,7 @@ def parse_args(argv: Optional[List[str]] = None) -> Options:
     ap.add_argument("--volPrecision", default="uint8",
                     choices=["uint8", "bfloat16", "float32"])
     ap.add_argument("--unaryBackend", default="auto",
-                    choices=["auto", "xla", "dma"])
+                    choices=["auto", "xla", "blk", "dma"])
     # -warmup 1 (default) precompiles the schedule's executables before the
     # evaluator's timer starts, so time.txt is pure optimization time like
     # the reference's TimeStamper (Evaluator.h:113-116); 0 disables.

@@ -507,6 +507,25 @@ def dense_volume_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                                          stride or 4 * s, fsize)
 
 
+def dense_volume_block(data: EnergyData, cfg: EnergyConfig, mode: int,
+                       coy, cox, s: int, nby: int, nbx: int,
+                       target_off: int, target_size: int,
+                       vol_row_base=None):
+    """Un-exploded volume coverage of a regular color grid for the
+    block-major unary backend (``ops.windows.dense_block_parts``): one
+    bounding-block ``dynamic_slice`` + reshape strips instead of the
+    [N, D, F, F] slab explosion of :func:`dense_volume_slabs`. Same origin
+    convention as that function."""
+    r = cfg.params.guided_radius
+    fsize = target_size + 2 * r
+    if vol_row_base is None:
+        vol_row_base = cfg.vol_pad
+    oy0 = coy + (s + target_off - r) + vol_row_base
+    ox0 = cox + (s + target_off - r + cfg.vol_pad)
+    return windows.dense_block_parts(data.vol[mode], oy0, ox0, nby, nbx,
+                                     4 * s, fsize)
+
+
 def dense_exi_slabs(data: EnergyData, cfg: EnergyConfig, mode: int,
                     coy, cox, s: int, nby: int, nbx: int,
                     target_off: int, target_size: int):
@@ -540,7 +559,7 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                   target_off: int, target_size: int,
                   stat_windows=None, vol_slabs=None,
                   exi_slabs=None, vol_dma: bool = False,
-                  dshard=None) -> jnp.ndarray:
+                  dshard=None, vol_block=None) -> jnp.ndarray:
     """Filtered unary costs of ``proposals`` over target windows.
 
     Implements ``ComputeUnaryPotential`` (``CostVolumeEnergy.h:55-183`` /
@@ -559,6 +578,10 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
         as a per-device owned-pixel partial over the local plane shard and
         a ``psum`` over ``axis_name`` reassembles the exact raw cost before
         filtering (must be called inside the corresponding ``shard_map``).
+      vol_block: block-major backend ("blk"): ``(parts, nby, nbx, t)``
+        from :func:`dense_volume_block` — requires ox/oy to be the
+        row-major regular color grid (window (m, k) origin =
+        (oy[0] + m*t, ox[0] + k*t)), which every engine color step is.
     Returns:
       [N, T, T] float32 costs (0 outside the image).
     """
@@ -584,6 +607,13 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 r_gf=r if fused_gf else 0,
                 scale=cfg.vol_scale, zero=cfg.vol_zero,
                 interpret=jax.default_backend() != "tpu")
+        elif vol_block is not None:
+            parts, nby_b, nbx_b, t_b = vol_block
+            raw = unary_volume.sample_block_aligned(
+                parts, proposals, fox[0], foy[0], nby_b, nbx_b, t_b, fsize,
+                cfg.height, cfg.width, min_disp=cfg.min_disp,
+                th_col=cfg.params.th_col,
+                scale=cfg.vol_scale, zero=cfg.vol_zero)
         elif vol_slabs is not None:
             if dshard is not None:
                 d_base, d_owned, d_total, ax = dshard

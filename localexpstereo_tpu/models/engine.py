@@ -196,11 +196,22 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             slab_bytes += 2 * 12 * fr * fc * 4
         use_vol_dma = slab_bytes <= 80 * 1024 * 1024
         fused_gf = fused_gf and use_vol_dma
-    stat_windows = vol_slabs = exi_slabs = None
+    # "blk" (opt-in): block-major tent contraction on the un-exploded
+    # bounding block (ops/unary_volume.sample_block_aligned) — kills the
+    # [N, D, F, F] slab hoist and runs the VPU-bound contraction at full
+    # lane fill (minor dim = block width, not F).
+    use_vol_blk = (cfg.kind == "volume" and cfg.interp == 1 and not local
+                   and dshard is None and not use_vol_dma
+                   and cfg.unary_backend == "blk")
+    stat_windows = vol_slabs = exi_slabs = vol_block = None
     if cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
-    if (cfg.kind == "volume"
+    if use_vol_blk:
+        vol_block = (energy_mod.dense_volume_block(
+            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss), nby_u,
+            nbx, t4)
+    elif (cfg.kind == "volume"
             and (cfg.interp == 1 or local or dshard is not None)
             and not use_vol_dma):
         n_regions = ox_u.shape[0]
@@ -265,7 +276,8 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
 
         pcost = energy_mod.unary_windows(
             data, cfg, mode, props, ox_u, oy_u, -s, ss, stat_windows,
-            vol_slabs, exi_slabs, vol_dma=use_vol_dma, dshard=dshard)
+            vol_slabs, exi_slabs, vol_dma=use_vol_dma, dshard=dshard,
+            vol_block=vol_block)
         if step_active is not None:
             # Inactive steps (random-perturbation decay early-stop,
             # ``Proposer.h:149-152``) propose at COST_FOR_INVALID so nothing

@@ -88,3 +88,70 @@ def dense_windows_block_leading(arr: jnp.ndarray, oy0, ox0, nby: int,
     x = _extract_axis(blk, nby, t, f, axis=1)    # [C, nby, F, Wblk]
     x = _extract_axis(x, nbx, t, f, axis=3)      # [C, nby, F, nbx, F]
     return x
+
+
+def dense_block_parts(arr: jnp.ndarray, oy0, ox0, nby: int, nbx: int,
+                      t: int, f: int):
+    """[C, Hp, Wp] -> UN-exploded window coverage on a regular grid.
+
+    The block-major unary backend computes per-pixel costs on the windows'
+    bounding block instead of exploding [N, C, F, F] slabs (factor (F/T)^2
+    duplication AND a 2x lane-fill loss when F ~ 62 vs the block's
+    full-width minor dim). When F > T adjacent windows overlap by
+    E = F - T pixels; those pixels are evaluated under BOTH owners' plane
+    proposals, so the coverage splits into four parts (window row/col
+    phase x body/tail):
+
+      main   [C, nby*T, nbx*T]  rows m*T+u  under window row m, col k
+      rows   [C, nby*E, nbx*T]  rows (m+1)*T+u (u < E) under window row m
+      cols   [C, nby*T, nbx*E]  cols (k+1)*T+v (v < E) under window col k
+      corner [C, nby*E, nbx*E]  both tails
+
+    All four are pure reshape/slice views of one ``dynamic_slice`` bounding
+    block — no gathers, no per-window copies of the C axis.
+    ``assemble_window_quadrants`` stitches per-pixel RESULTS computed on
+    these parts back into [N, F, F] windows. For F <= T (no overlap) only
+    ``main`` is returned (sized for :func:`_extract_axis` extraction) and
+    the other three are None.
+    """
+    e = f - t
+    if e <= 0:
+        hblk = (nby - 1) * t + f
+        wblk = (nbx - 1) * t + f
+        blk = jax.lax.dynamic_slice(arr, (0, oy0, ox0),
+                                    (arr.shape[0], hblk, wblk))
+        return blk, None, None, None
+    c = arr.shape[0]
+    hblk = nby * t + e
+    wblk = nbx * t + e
+    blk = jax.lax.dynamic_slice(arr, (0, oy0, ox0), (c, hblk, wblk))
+    main = blk[:, :nby * t, :nbx * t]
+    rows = _extract_axis(blk[:, t:, :nbx * t], nby, t, e, axis=1)
+    rows = rows.reshape(c, nby * e, nbx * t)
+    cols = _extract_axis(blk[:, :nby * t, t:], nbx, t, e, axis=2)
+    cols = cols.reshape(c, nby * t, nbx * e)
+    corner = _extract_axis(blk[:, t:, t:], nby, t, e, axis=1)
+    corner = _extract_axis(corner, nbx, t, e, axis=3)
+    corner = corner.reshape(c, nby * e, nbx * e)
+    return main, rows, cols, corner
+
+
+def assemble_window_quadrants(main: jnp.ndarray, rows, cols, corner,
+                              nby: int, nbx: int, t: int,
+                              f: int) -> jnp.ndarray:
+    """Stitches per-pixel results on :func:`dense_block_parts` parts back
+    into [nby * nbx, F, F] windows (row-major region index)."""
+    e = f - t
+    if e <= 0:
+        x = _extract_axis(main, nby, t, f, axis=0)   # [nby, F, Wblk]
+        x = _extract_axis(x, nbx, t, f, axis=2)      # [nby, F, nbx, F]
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape(nby * nbx, f, f)
+    body = main.reshape(nby, t, nbx, t)
+    rstrip = rows.reshape(nby, e, nbx, t)
+    cstrip = cols.reshape(nby, t, nbx, e)
+    cor = corner.reshape(nby, e, nbx, e)
+    top = jnp.concatenate([body, cstrip], axis=3)    # [nby, T, nbx, F]
+    bot = jnp.concatenate([rstrip, cor], axis=3)     # [nby, E, nbx, F]
+    full = jnp.concatenate([top, bot], axis=1)       # [nby, F, nbx, F]
+    return jnp.transpose(full, (0, 2, 1, 3)).reshape(nby * nbx, f, f)
