@@ -78,10 +78,14 @@ class EnergyConfig:
     max_vdisp: float = 0.0
     interp: int = 1        # volume d-interpolation (CostVolumeEnergy.h:45-48)
     mincut_backend: str = "auto"  # "auto" | "pallas" | "xla"
-    #: V3 raw-sampling backend: "auto" (= xla) | "xla" (dense slab hoist)
-    #: | "dma" (opt-in per-region fused Pallas DMA kernel). The pruned
-    #: alternates (block, region-on-lanes, strip-mined dma_rows) lost
-    #: their hardware A/Bs — ARCHITECTURE.md round-4 log has the table.
+    #: V3 raw-sampling backend: "auto" (= "blk" where eligible — volume
+    #: kind, interp 1, full color grid — else the "xla" slabs) | "blk"
+    #: (block-major tent contraction on the un-exploded bounding block;
+    #: won its full-scale hardware A/B 1.18-1.40x at every layer) | "xla"
+    #: (dense slab hoist; general fallback) | "dma" (opt-in per-region
+    #: fused Pallas DMA kernel). The pruned alternates (block layout,
+    #: region-on-lanes, strip-mined dma_rows) lost their hardware A/Bs —
+    #: ARCHITECTURE.md round-4 log has the table.
     unary_backend: str = "auto"
     vol_pad: int = 0       # spatial zero padding of EnergyData.vol
     #: Dequantization of a uint8-stored cost volume (vol_dtype="uint8"):

@@ -163,15 +163,19 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # form a regular grid at stride 4s, so vmapped dynamic slices (which XLA
     # serializes) are never needed on this path.
     #
-    # V3 raw-sampling backends: exactly TWO live layouts (the reference
-    # keeps one benchmarked alternate the same way, GuidedFilter.h:137-141).
-    # "xla" (default): dense slab hoist + tent contraction. "dma" (opt-in):
-    # the fused Pallas DMA gather+tent(+GF) kernel (ops/unary_pallas.py),
-    # which needs no hoisted slab at all, gated by the VMEM footprint of
-    # its double-buffered aligned slab. It is NOT the default because the
-    # per-region DMA must fetch a 128-lane-aligned superset (~4x the
-    # window's true bytes at the fine layer) and measured ~2 s/frame
-    # slower than the XLA hoist on the halfH bench (19.9 vs 17.9 bf16).
+    # V3 raw-sampling backends. "blk" (the "auto" default): block-major
+    # tent contraction on the un-exploded bounding block — won its
+    # full-scale interleaved hardware A/B at EVERY (layer, mode) by
+    # 1.18-1.40x (tools/ab_block_unary.py; ARCHITECTURE.md round-4 log),
+    # labelings bit-identical to the slab path. "xla": the dense slab
+    # hoist — the general fallback (interp != 1, local windows, D-sharded
+    # volumes, naive/V2 all route here) and the benchmarked alternate the
+    # way the reference keeps one (GuidedFilter.h:137-141). "dma"
+    # (opt-in): the fused Pallas DMA gather+tent(+GF) kernel
+    # (ops/unary_pallas.py), gated by the VMEM footprint of its
+    # double-buffered aligned slab; not the default because the per-region
+    # DMA must fetch a 128-lane-aligned superset (~4x the window's true
+    # bytes at the fine layer; 19.9 vs 17.9 s/frame bf16).
     # Pruned alternates (losers on hardware; see ARCHITECTURE.md round-4
     # "unary backend A/B" table for the record): block layout (~2.5x
     # slower 5-D ops), region-on-lanes "rl" (~2% slower, transposes beat
@@ -196,13 +200,13 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             slab_bytes += 2 * 12 * fr * fc * 4
         use_vol_dma = slab_bytes <= 80 * 1024 * 1024
         fused_gf = fused_gf and use_vol_dma
-    # "blk" (opt-in): block-major tent contraction on the un-exploded
-    # bounding block (ops/unary_volume.sample_block_aligned) — kills the
+    # "blk": block-major tent contraction on the un-exploded bounding
+    # block (ops/unary_volume.sample_block_aligned) — kills the
     # [N, D, F, F] slab hoist and runs the VPU-bound contraction at full
     # lane fill (minor dim = block width, not F).
     use_vol_blk = (cfg.kind == "volume" and cfg.interp == 1 and not local
                    and dshard is None and not use_vol_dma
-                   and cfg.unary_backend == "blk")
+                   and cfg.unary_backend in ("blk", "auto"))
     stat_windows = vol_slabs = exi_slabs = vol_block = None
     if cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
