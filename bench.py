@@ -397,8 +397,10 @@ def bench_videorate(scale=1.0, frames=4):
     """Steady-state serving mode: persistent compiled engine, cell-seeded
     warm start from the previous frame, 1 GC sweep per frame. Frame 0 (cold
     full schedule + compilation) is excluded; reports the mean of the warm
-    frames. Shares the primary leg's shapes, so its sweeps hit the in-process
-    jit cache."""
+    frames PLUS the per-stage breakdown (build / solve / output) of the last
+    warm frame, so the residual non-solve overhead is on the driver record
+    (VERDICT round-4 item 7). Shares the primary leg's shapes, so its sweeps
+    hit the in-process jit cache."""
     import jax.numpy as jnp
     from localexpstereo_tpu.config import PARAMS_GF
     from localexpstereo_tpu.serving import StereoStream
@@ -412,7 +414,7 @@ def bench_videorate(scale=1.0, frames=4):
     sizes = _layer_sizes(w)
     stream = StereoStream(params, max_disp=float(nd - 1), unit_sizes=sizes,
                           cold_iterations=5, cold_pm_iterations=2,
-                          warm_iterations=1)
+                          warm_iterations=1, profile=True)
     stream.process(img, img, vol_dev, vol_dev)   # cold + compile
     beat()
     stream.process(img, img, vol_dev, vol_dev)   # first warm (compiles warm path)
@@ -422,7 +424,24 @@ def bench_videorate(scale=1.0, frames=4):
         stream.process(img, img, vol_dev, vol_dev)
         beat()
         times.append(stream.last_frame_seconds)
-    return sum(times) / len(times)
+    return sum(times) / len(times), dict(stream.last_timings)
+
+
+def _mccnn_leg(scale):
+    """MC-CNN leg with a degraded-mode fallback: round 4's attempt died on
+    a tunnel-side remote-compile HTTP 500 at the full halfH geometry. If the
+    full-scale compile fails, retry at half the geometry (annotated) — a
+    smaller executable that the compile helper handles — so SOME measured
+    images->volume number lands on the record instead of an error string."""
+    try:
+        return {"mccnn_volume_s": round(bench_mccnn(scale), 3)}
+    except Exception as e:  # noqa: BLE001 — any compile/dispatch failure
+        note = str(e)[:160]
+        beat()
+        half = bench_mccnn(scale * 0.5)
+        return {"mccnn_volume_s_halfgeom": round(half, 3),
+                "mccnn_note": f"full geometry failed ({note}); "
+                              f"measured at 0.5x geometry instead"}
 
 
 def main():
@@ -448,17 +467,11 @@ def main():
     _primary_done.set()
 
     if not fast:
+        # Leg ORDER is the budget policy (VERDICT round-4 item 3): the legs
+        # that de-risk the headline v5e-8 claim (replica2 wave scaling,
+        # batch15 config-3 throughput) run FIRST; demo/aux legs (videorate,
+        # cones, mccnn) spend whatever budget remains.
         legs = [
-            ("videorate", lambda: {"videorate_s_per_frame":
-                                   round(bench_videorate(scale), 3)}, 120),
-            ("mccnn", lambda: {"mccnn_volume_s":
-                               round(bench_mccnn(scale), 3)}, 90),
-            ("cones", lambda: (lambda sb: {
-                "cones_doDual_s": round(sb[0], 3),
-                "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
-            ("replica", lambda: {"replica1_s_per_frame":
-                                 round(bench_replica(scale, iters,
-                                                     pm_iters), 3)}, 300),
             ("replica2", lambda: {"replica2_s_per_frame":
                                   round(bench_replica(scale, iters, pm_iters,
                                                       npairs=2), 3)}, 300),
@@ -466,6 +479,16 @@ def main():
                 "batch15_s_per_frame": sb[0],
                 "batch15_pairs": sb[1]})(bench_batch15(iters, pm_iters)),
              240),
+            ("videorate", lambda: (lambda vb: {
+                "videorate_s_per_frame": round(vb[0], 3),
+                "videorate_breakdown": vb[1]})(bench_videorate(scale)), 120),
+            ("cones", lambda: (lambda sb: {
+                "cones_doDual_s": round(sb[0], 3),
+                "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
+            ("mccnn", lambda: _mccnn_leg(scale), 90),
+            ("replica", lambda: {"replica1_s_per_frame":
+                                 round(bench_replica(scale, iters,
+                                                     pm_iters), 3)}, 300),
         ]
         for name, fn, min_budget in legs:
             if left() < min_budget:

@@ -613,6 +613,16 @@ def unary_windows(data: EnergyData, cfg: EnergyConfig, mode: int,
                 interpret=jax.default_backend() != "tpu")
         elif vol_block is not None:
             parts, nby_b, nbx_b, t_b = vol_block
+            # NOTE on cross-shape determinism: on XLA:CPU the tail-quadrant
+            # contractions (narrow [*, nbx*E] arrays) compile with
+            # shape-dependent reassociation — a row-sliced program (the
+            # H-sharded engine's nby_loc rows) differs from the full-grid
+            # program by 1-2 ulp at a few pixels, which can flip near-tie
+            # accepts. Fusion barriers do NOT fix it (measured). This is
+            # why "auto" resolves to blk only on TPU, where the full-scale
+            # interleaved A/B showed bit-identical labelings
+            # (tools/ab_block_unary.py); see engine._color_body's routing
+            # matrix and tests/test_backend_consistency.py.
             raw = unary_volume.sample_block_aligned(
                 parts, proposals, fox[0], foy[0], nby_b, nbx_b, t_b, fsize,
                 cfg.height, cfg.width, min_disp=cfg.min_disp,

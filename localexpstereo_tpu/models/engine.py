@@ -203,18 +203,34 @@ def _color_body(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
     # "blk": block-major tent contraction on the un-exploded bounding
     # block (ops/unary_volume.sample_block_aligned) — kills the
     # [N, D, F, F] slab hoist and runs the VPU-bound contraction at full
-    # lane fill (minor dim = block width, not F).
-    use_vol_blk = (cfg.kind == "volume" and cfg.interp == 1 and not local
+    # lane fill (minor dim = block width, not F). Available to the
+    # H-sharded (local-window) path too: the block resolves from the
+    # local volume shard via vol_row_base, exactly like the slab path, so
+    # EVERY path resolves the same backend and the sharded == single-device
+    # bitwise contract holds by shared code (the round-4 multichip
+    # regression was this routing diverging: blk single-device vs xla
+    # sharded). "auto" is PLATFORM-GATED: blk on TPU (1.18-1.40x at every
+    # layer, labelings bit-identical in the full-scale interleaved A/B,
+    # tools/ab_block_unary.py), xla elsewhere — XLA:CPU compiles the blk
+    # tail-quadrant contractions with shape-dependent reassociation, so a
+    # row-sliced (H-sharded) blk program drifts 1-2 ulp from the full-grid
+    # one and near-tie accepts flip (measured; fusion barriers don't fix
+    # it). The slab ("xla") sampler is cross-shape bitwise-stable on CPU,
+    # so the virtual-mesh dryrun/tests assert the bitwise contract on the
+    # backend the CPU default actually resolves to.
+    use_vol_blk = (cfg.kind == "volume" and cfg.interp == 1
                    and dshard is None and not use_vol_dma
-                   and cfg.unary_backend in ("blk", "auto"))
+                   and (cfg.unary_backend == "blk"
+                        or (cfg.unary_backend == "auto"
+                            and jax.default_backend() == "tpu")))
     stat_windows = vol_slabs = exi_slabs = vol_block = None
     if cfg.params.filter_name and not fused_gf:
         stat_windows = energy_mod.dense_filter_windows(
             data, cfg, mode, ox_u, oy_u, coy_u, cox, s, nby_u, nbx, -s, ss)
     if use_vol_blk:
         vol_block = (energy_mod.dense_volume_block(
-            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss), nby_u,
-            nbx, t4)
+            data, cfg, mode, coy_u, cox, s, nby_u, nbx, -s, ss,
+            vol_row_base=vol_row_base), nby_u, nbx, t4)
     elif (cfg.kind == "volume"
             and (cfg.interp == 1 or local or dshard is not None)
             and not use_vol_dma):
@@ -537,6 +553,21 @@ def init_step(data: energy_mod.EnergyData, cfg: energy_mod.EnergyConfig,
             cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
                                             oy_u, 0, s, vol_slabs=vol_slabs,
                                             dshard=dshard)
+        elif cfg.kind == "volume" and cfg.interp == 1:
+            # SAME dense-aligned sampler as the spatially-sharded init
+            # above: the H-sharded solver's bitwise contract requires both
+            # inits to run one sampler (the former full-volume gather path,
+            # sample_windows_slab, computes the identical math with a
+            # different program structure — measured 1-2 ulp apart on
+            # XLA:CPU at ~1% of cells, which flips downstream near-tie
+            # accepts). The engine chunks this call by cell rows when the
+            # slab transient exceeds the budget (LocalExpansionSolver.
+            # _init_state), preserving values exactly: the sampler is
+            # per-window, so row chunking only changes batch shapes.
+            vol_slabs = energy_mod.dense_volume_slabs(
+                data, cfg, mode, -s, -s, s, hb, wb, 0, s, stride=s)
+            cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
+                                            oy_u, 0, s, vol_slabs=vol_slabs)
         else:
             cost = energy_mod.unary_windows(data, cfg, mode, labels_u, ox_u,
                                             oy_u, 0, s)
@@ -691,6 +722,28 @@ class LocalExpansionSolver:
             cfg = dataclasses.replace(cfg, unary_backend=self.unary_backend)
         return cfg
 
+    def resolved_unary_backend(self) -> str:
+        """The raw-sampling backend the sweep path actually runs, i.e. what
+        ``unary_backend="auto"`` resolves to for THIS solver's routing
+        constraints (the matrix in ``_color_body``). Cross-path bitwise
+        comparisons (dryrun step 3/5, tests) must construct both sides with
+        the same resolved backend: "blk" and "xla" are NOT bitwise-equal on
+        every XLA backend (round-4 lesson — XLA:CPU reassociates the two
+        contractions differently).
+
+        Matrix: V3 volume + interp==1 -> "blk" on TPU, "xla" elsewhere
+        (single-device, H-sharded, replica alike — one shared routing, so
+        every comparable pair resolves identically; "dma" only when
+        explicitly requested AND its VMEM gate passes); V3 interp != 1 and
+        D-sharded volumes -> "xla" (slab samplers); V2 naive -> "xla"
+        (warp path, no backend choice)."""
+        if self.unary_backend != "auto":
+            return self.unary_backend
+        if (self.vol0 is not None and self.interp == 1
+                and jax.default_backend() == "tpu"):
+            return "blk"
+        return "xla"
+
     def update_frame(self, im0_bgr, im1_bgr, vol0=None, vol1=None,
                      seed: Optional[int] = None):
         """Serving fast path: swap in a NEW frame's tensors on a finalized
@@ -780,9 +833,40 @@ class LocalExpansionSolver:
             jnp.asarray(dzs), jnp.asarray(nrs), jnp.stack(keys))
 
     def _init_state(self, key: jax.Array, mode: int):
-        """Random initialization of one view's state (overridable)."""
-        return init_step(self.data, self.cfg, key,
-                         unit_size=self.layers[0].unit_size, mode=mode)
+        """Random initialization of one view's state (overridable).
+
+        The volume init samples dense aligned slabs (one [cells, D, F, F]
+        transient); when that exceeds ``cfg.slab_budget`` it is chunked by
+        CELL ROWS via the local-window init machinery — each chunk writes a
+        disjoint row band into a zero canvas, so the summed canvases equal
+        the single-call result bitwise (the sampler is per-window; chunking
+        only changes batch shapes). The label RNG draws the full grid in
+        every chunk and row-slices, so labels are chunking-invariant."""
+        s = self.layers[0].unit_size
+        cfg = self.cfg
+        if cfg.kind == "volume" and cfg.interp == 1:
+            hb = -(-cfg.height // s)
+            wb = -(-cfg.width // s)
+            f = s + 2 * cfg.params.guided_radius
+            itemsize = jnp.dtype(self.data.vol.dtype).itemsize
+            # Physical slab bytes incl. XLA's (8, 128) tile padding of the
+            # trailing [F, F] dims (cf. ops.unary_volume.sample_windows_slab).
+            per_row = (wb * self.data.vol.shape[1] * (-(-f // 8) * 8)
+                       * (-(-f // 128) * 128) * itemsize)
+            if per_row * hb > cfg.slab_budget:
+                chunk = max(1, cfg.slab_budget // per_row)
+                own = jnp.ones(chunk * wb, bool)
+                lab = cost = None
+                for m0 in range(0, hb, chunk):
+                    hb_loc = min(chunk, hb - m0)
+                    l_c, c_c = init_step(
+                        self.data, cfg, key, unit_size=s, mode=mode,
+                        hb_loc=hb_loc, m_start=m0,
+                        own_rmask=own[:hb_loc * wb])
+                    lab = l_c if lab is None else lab + l_c
+                    cost = c_c if cost is None else cost + c_c
+                return lab, cost
+        return init_step(self.data, self.cfg, key, unit_size=s, mode=mode)
 
     def _sweep(self, state_m, mode: int, outer_iter: int, do_gc: bool,
                key: jax.Array):

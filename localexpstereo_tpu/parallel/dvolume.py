@@ -199,6 +199,13 @@ class ShardedDVolumeSolver(engine_mod.LocalExpansionSolver):
         self.n_dev = mesh.shape[axis_name]
         self.init_row_chunk = init_row_chunk
 
+    def resolved_unary_backend(self) -> str:
+        """D-sharded raw sampling always runs the slab ("xla") samplers:
+        the psum-merged owned-plane partial (``sample_slabs_dshard``) has no
+        block-major variant. Comparisons against a single-device reference
+        must therefore build the reference with ``unary_backend="xla"``."""
+        return "xla"
+
     def finalize(self):
         if self.data is not None:
             return

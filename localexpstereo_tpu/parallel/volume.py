@@ -186,10 +186,11 @@ class ShardedVolumeSolver(engine_mod.LocalExpansionSolver):
                  vol0: np.ndarray, vol1: np.ndarray, mesh: Mesh,
                  axis_name: str = "space", min_disp: float = 0.0,
                  seed: int = 0, interp: int = 1,
-                 vol_dtype: str = "uint8"):
+                 vol_dtype: str = "uint8", unary_backend: str = "auto"):
         super().__init__(im0_bgr, im1_bgr, params, max_disp,
                          min_disp=min_disp, vol0=vol0, vol1=vol1, seed=seed,
-                         interp=interp, vol_dtype=vol_dtype)
+                         interp=interp, vol_dtype=vol_dtype,
+                         unary_backend=unary_backend)
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_dev = mesh.shape[axis_name]
@@ -221,6 +222,10 @@ class ShardedVolumeSolver(engine_mod.LocalExpansionSolver):
             self.min_disp, self.max_vdisp, self.vol0, self.vol1, self.interp,
             vol_pad=vol_pad, vol_dtype=self.vol_dtype,
             vol_transform=vol_transform)
+        # Honor the same backend resolution as the single-device engine it
+        # must bit-match (round-4 multichip regression: a routing mismatch
+        # here shipped blk-vs-xla divergence on XLA:CPU).
+        self.cfg = self._apply_cfg_overrides(self.cfg)
         # Replicate the non-volume tensors across the mesh explicitly.
         rep = NamedSharding(self.mesh, P())
         self.data = self.data._replace(
