@@ -155,6 +155,8 @@ def main():
     out = {"protocol": "certificate: active_left==0 at capped budget ==> "
                        "exact min-cut; cross-checked vs 64-round accepts "
                        "and Dinic oracle energies",
+           "platform": jax.default_backend(),
+           "device": str(jax.devices()[0]),
            "legs": []}
     for s, sweeps, batch, dinic in [(129, 16, 20, 10), (387, 64, 5, 5)]:
         leg = audit(s, sweeps, n_total, batch, dinic)
