@@ -78,7 +78,7 @@ import numpy as np
 BASELINE_SECONDS = 237.0  # reference filter_raw desktop end-to-end
 CONES_DIR = "/root/reference/data/MiddV2/cones"
 T0 = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1900"))
 STALL_S = float(os.environ.get("BENCH_STALL_S", "900"))
 
 _last_beat = [time.time()]
