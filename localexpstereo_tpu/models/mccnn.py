@@ -64,21 +64,33 @@ def cost_volume(params: Dict, im0: jnp.ndarray, im1: jnp.ndarray,
                 ndisp: int) -> jnp.ndarray:
     """[ndisp, H, W] matching-cost volume: ``1 - <f0(x), f1(x - d)>`` with
     replicate-edge behavior for out-of-view columns (the same convention the
-    reference restores with ``fillOutOfView``, ``main.cpp:146-163``)."""
+    reference restores with ``fillOutOfView``, ``main.cpp:146-163``).
+
+    The disparity axis is a ``lax.scan``, NOT a vmap: a vmapped shift turns
+    into one [ndisp, H, W, C] gather — 106 GB at halfH geometry (the round-4
+    bench leg's compile-time OOM). The scan keeps peak residency at one
+    [H, W, C] shifted-feature slab per step; each step is a dynamic_slice of
+    the edge-padded f1 plus a fused multiply-reduce over C, so the loop is
+    HBM-bandwidth-bound, exactly where a correlation with C=64 should sit.
+    """
     f0 = features(params, im0)
     f1 = features(params, im1)
+    w = f0.shape[1]
+    # Left edge-pad by ndisp so f1(x - d) is a static-size dynamic_slice.
+    f1_pad = jnp.pad(f1, ((0, 0), (ndisp, 0), (0, 0)), mode="edge")
 
-    def one_disp(d):
-        f1_shift = jnp.roll(f1, d, axis=1)
+    def one_disp(_, d):
+        f1_shift = jax.lax.dynamic_slice_in_dim(f1_pad, ndisp - d, w, axis=1)
         cost = 1.0 - jnp.sum(f0 * f1_shift, axis=-1)
         # Out-of-view fill: vol[d, y, x] = vol[d, y, d] for x < d
         # (fillOutOfView semantics, main.cpp:152-163).
         cols = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 1)
         first_valid = jax.lax.dynamic_slice_in_dim(
-            cost, jnp.clip(d, 0, cost.shape[1] - 1), 1, axis=1)
-        return jnp.where(cols >= d, cost, first_valid)
+            cost, jnp.clip(d, 0, w - 1), 1, axis=1)
+        return None, jnp.where(cols >= d, cost, first_valid)
 
-    return jax.vmap(one_disp)(jnp.arange(ndisp))
+    _, vol = jax.lax.scan(one_disp, None, jnp.arange(ndisp))
+    return vol
 
 
 def default_weights_path() -> str:

@@ -30,13 +30,33 @@ def _build_and_load() -> ctypes.CDLL:
     srcs = [os.path.join(_DIR, "maxflow.cpp"),
             os.path.join(_DIR, "loader.cpp")]
     lib_path = os.path.join(_DIR, "libnative.so")
-    if (not os.path.exists(lib_path)
-            or any(os.path.getmtime(lib_path) < os.path.getmtime(s)
-                   for s in srcs)):
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs,
-             "-o", lib_path, "-lpthread"],
-            check=True, capture_output=True)
+
+    def _stale():
+        return (not os.path.exists(lib_path)
+                or any(os.path.getmtime(lib_path) < os.path.getmtime(s)
+                       for s in srcs))
+
+    if _stale():
+        # Multiprocess-safe rebuild (parallel pytest workers import this
+        # concurrently): serialize via an flock, re-check staleness under
+        # it, compile to a temp name, and publish with an atomic rename so
+        # a concurrent dlopen never sees a half-written .so.
+        import fcntl
+        import tempfile
+        with open(lib_path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if _stale():
+                fd, tmp = tempfile.mkstemp(dir=_DIR, suffix=".so.tmp")
+                os.close(fd)
+                try:
+                    subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                         *srcs, "-o", tmp, "-lpthread"],
+                        check=True, capture_output=True)
+                    os.replace(tmp, lib_path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
     lib = ctypes.CDLL(lib_path)
     lib.grid_mincut.restype = ctypes.c_double
     lib.grid_mincut.argtypes = [

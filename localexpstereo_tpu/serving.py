@@ -54,6 +54,14 @@ class StereoStream:
       vol_dtype: cost-volume storage dtype; "uint8" (default) quantizes
         to 256 levels over [0, 2*th_col] on device (-17%% frame time vs
         bf16; bound tau/255 per sample, tests/test_uint8_volume.py).
+      pipelined: when True, ``process(frame_i)`` returns the disparity of
+        frame ``i-1`` (``None`` on the first call) and only *launches* the
+        async device->host copy of frame ``i``'s result, so the D2H
+        transfer of frame ``i`` overlaps frame ``i+1``'s energy build and
+        solve instead of stalling the host between frames (the output
+        stage is pure transfer — the solve never depends on it). One
+        frame of latency buys transfer-free steady-state throughput;
+        call :meth:`flush` for the final frame.
     """
 
     def __init__(self, params: Parameters, max_disp: float,
@@ -63,7 +71,8 @@ class StereoStream:
                  cold_iterations: int = 5, cold_pm_iterations: int = 2,
                  warm_iterations: int = 1, warm_pm_iterations: int = 0,
                  vol_dtype: str = "uint8",
-                 stats_backend: str = "device", profile: bool = False):
+                 stats_backend: str = "device", profile: bool = False,
+                 pipelined: bool = False):
         self.params = params
         self.max_disp = float(max_disp)
         self.min_disp = float(min_disp)
@@ -78,10 +87,12 @@ class StereoStream:
         #: frame into build/solve/output walls — syncs serialize dispatch
         #: against execution, so leave False in production streams.
         self.profile = profile
+        self.pipelined = pipelined
         self.frame_index = 0
         self.last_frame_seconds: Optional[float] = None
         self.last_timings: Optional[dict] = None
         self._prev_labeling = None
+        self._pending_disp = None
         self._solver: Optional[LocalExpansionSolver] = None
 
     def _proposers(self, li: int):
@@ -148,7 +159,17 @@ class StereoStream:
         if self.profile:
             jax.block_until_ready(labeling)
             t_solve = time.perf_counter()
-        disp = np.asarray(plane_ops.disparity_map(labeling))
+        if self.pipelined:
+            # Launch this frame's D2H without waiting on it; hand back the
+            # PREVIOUS frame's disparity, whose transfer overlapped this
+            # frame's build + solve and has (in steady state) completed.
+            disp_dev = plane_ops.disparity_map(labeling)
+            disp_dev.copy_to_host_async()
+            disp = (np.asarray(self._pending_disp)
+                    if self._pending_disp is not None else None)
+            self._pending_disp = disp_dev
+        else:
+            disp = np.asarray(plane_ops.disparity_map(labeling))
         t_end = time.perf_counter()
         self.last_frame_seconds = t_end - t0
         if self.profile:
@@ -157,6 +178,16 @@ class StereoStream:
                                  "output_s": round(t_end - t_solve, 4)}
         return disp
 
+    def flush(self) -> Optional[np.ndarray]:
+        """Pipelined mode: returns the in-flight last frame's disparity
+        (``None`` when nothing is pending or ``pipelined=False``)."""
+        if self._pending_disp is None:
+            return None
+        disp = np.asarray(self._pending_disp)
+        self._pending_disp = None
+        return disp
+
     def reset(self):
         """Drops the warm-start state (next frame runs the cold schedule)."""
         self._prev_labeling = None
+        self._pending_disp = None

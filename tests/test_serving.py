@@ -103,3 +103,22 @@ def test_update_frame_matches_fresh_solver():
     labU, _ = upd.run(iterations=1, view_modes=(0,), pm_iterations=1)
 
     np.testing.assert_array_equal(labF, labU)
+
+
+def test_pipelined_stream_matches_sync():
+    """pipelined=True shifts outputs by one frame (None first, flush()
+    drains the last) and every disparity bitwise-matches the synchronous
+    stream — the async D2H overlap must not change results."""
+    img, vol, _ = _problem(3)
+    params = PARAMS_GF.replace(windR=6, lambda_=0.5, th_col=0.5)
+    kw = dict(max_disp=float(vol.shape[0] - 1), unit_sizes=[4, 8],
+              cold_iterations=1, cold_pm_iterations=1, warm_iterations=1)
+    sync = StereoStream(params, **kw)
+    pipe = StereoStream(params, **kw, pipelined=True)
+    outs_sync = [sync.process(img, img, vol, vol) for _ in range(3)]
+    outs_pipe = [pipe.process(img, img, vol, vol) for _ in range(3)]
+    assert outs_pipe[0] is None
+    np.testing.assert_array_equal(outs_pipe[1], outs_sync[0])
+    np.testing.assert_array_equal(outs_pipe[2], outs_sync[1])
+    np.testing.assert_array_equal(pipe.flush(), outs_sync[2])
+    assert pipe.flush() is None

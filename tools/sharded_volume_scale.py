@@ -124,6 +124,13 @@ def main():
         "build_seconds": round(t_build, 1),
     }
     print(json.dumps(summary, indent=2), flush=True)
+    # Persist the residency/budget half immediately — the executed slice
+    # below runs for tens of minutes on the CPU mesh and a timeout there
+    # should not lose the accounting.
+    out = os.path.join(os.path.dirname(__file__),
+                       "sharded_volume_scale.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
 
     # ---- execute at scale: chunked init + greedy color step(s), layer 0 ---
     key = jax.random.PRNGKey(0)
@@ -157,8 +164,6 @@ def main():
     summary["greedy_color_seconds"] = round(t_color, 1)
     summary["cost_checksum"] = checksum
 
-    out = os.path.join(os.path.dirname(__file__),
-                       "sharded_volume_scale.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"wrote {out}")
