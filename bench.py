@@ -424,7 +424,23 @@ def bench_videorate(scale=1.0, frames=4):
         stream.process(img, img, vol_dev, vol_dev)
         beat()
         times.append(stream.last_frame_seconds)
-    return sum(times) / len(times), dict(stream.last_timings)
+    # Pipelined steady state on the SAME warm stream (no second cold
+    # schedule): profile syncs off, D2H of frame i overlapping frame i+1's
+    # build + solve — the deployment configuration
+    # (tools/videorate_profile.py measured 3.39 -> 2.09 s/frame).
+    breakdown = dict(stream.last_timings)
+    stream.profile = False
+    stream.pipelined = True
+    stream.process(img, img, vol_dev, vol_dev)   # primes the pipeline
+    beat()
+    ptimes = []
+    for _ in range(frames - 1):
+        stream.process(img, img, vol_dev, vol_dev)
+        beat()
+        ptimes.append(stream.last_frame_seconds)
+    stream.flush()
+    return (sum(times) / len(times), breakdown,
+            sum(ptimes) / len(ptimes))
 
 
 def _mccnn_leg(scale):
@@ -481,7 +497,9 @@ def main():
              240),
             ("videorate", lambda: (lambda vb: {
                 "videorate_s_per_frame": round(vb[0], 3),
-                "videorate_breakdown": vb[1]})(bench_videorate(scale)), 120),
+                "videorate_breakdown": vb[1],
+                "videorate_pipelined_s_per_frame": round(vb[2], 3)})(
+                    bench_videorate(scale)), 150),
             ("cones", lambda: (lambda sb: {
                 "cones_doDual_s": round(sb[0], 3),
                 "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
