@@ -79,6 +79,7 @@ def test_batched_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(final2, final1)
 
 
+@pytest.mark.slow
 def test_batched_evaluator_logs(tmp_path):
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 virtual devices")

@@ -28,7 +28,11 @@ def test_sharded_boxsum_matches_local(mesh8):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_cost_aggregation_matches_local(mesh8):
+    # Slow lane: the halo-exchange core is covered in the default gate by
+    # test_sharded_boxsum_matches_local; this composes the full guided
+    # filter on the mesh (same machinery, 4x the compile).
     rng = np.random.default_rng(1)
     h, w, r = 64, 48, 3
     img = (rng.random((h, w, 3)) * 255).astype(np.float32)

@@ -126,18 +126,24 @@ def _run_crop(dataset: str):
     from localexpstereo_tpu.utils import datasets
 
     pair = datasets.load_data(str(V2_DIR / dataset), 0)
-    y0, x0, ch, cw = 60, 96, 160, 192
+    y0, x0, ch, cw = 60, 96, 96, 128
     im0 = pair.im0[y0:y0 + ch, x0:x0 + cw]
     im1 = pair.im1[y0:y0 + ch, x0:x0 + cw]
     gt = pair.disp_gt[y0:y0 + ch, x0:x0 + cw]
     nonocc = pair.nonocc[y0:y0 + ch, x0:x0 + cw]
 
     params = PARAMS_GF.replace(windR=20, lambda_=1.0)
-    s = engine_mod.LocalExpansionSolver(im0, im1, params,
-                                        pair.max_disparity, seed=0)
+    # One SHARED search range for all four datasets (59 covers every V2
+    # ndisp): max_disp is static in EnergyConfig, so a shared value means
+    # the four parametrized gates share one in-process executable set —
+    # the drift gate's cost is then one compile + four short solves, not
+    # four compiles (default-suite budget, VERDICT r4 item 2).
+    s = engine_mod.LocalExpansionSolver(im0, im1, params, 59.0, seed=0)
+    # One layer: the multi-layer schedule is energy-agnostic engine code
+    # (exercised by the volume-engine tests); this gate pins the V2 warp
+    # energy end-to-end, and each extra layer doubles its compile set.
     s.add_layer(5, engine_mod.LAYER0_PROPOSERS)
-    s.add_layer(15, engine_mod.COARSE_PROPOSERS)
-    s.run(iterations=2, view_modes=(0,), pm_iterations=1)
+    s.run(iterations=1, view_modes=(0,), pm_iterations=1)
 
     lab_m, cost_m = s._state[0]
     total, _, _ = engine_mod.energy_audit(s.data, s.cfg, lab_m, cost_m, 0)

@@ -63,19 +63,6 @@ def test_stream_adapts_to_scene_change():
     assert err_new < err_old
 
 
-def test_reset_recovers_cold_path():
-    img, vol, truth = _problem(3)
-    params = PARAMS_GF.replace(windR=6, lambda_=0.5, th_col=0.5)
-    stream = StereoStream(params, max_disp=float(vol.shape[0] - 1),
-                          unit_sizes=[4], cold_iterations=1,
-                          cold_pm_iterations=1)
-    stream.process(img, img, vol, vol)
-    stream.reset()
-    assert stream._prev_labeling is None
-    d = stream.process(img, img, vol, vol)
-    assert np.isfinite(d).all()
-
-
 def test_update_frame_matches_fresh_solver():
     """update_frame (the persistent-solver serving fast path) must be
     bit-equal to building a fresh solver on the new frame's tensors: both
@@ -111,7 +98,7 @@ def test_pipelined_stream_matches_sync():
     stream — the async D2H overlap must not change results."""
     img, vol, _ = _problem(3)
     params = PARAMS_GF.replace(windR=6, lambda_=0.5, th_col=0.5)
-    kw = dict(max_disp=float(vol.shape[0] - 1), unit_sizes=[4, 8],
+    kw = dict(max_disp=float(vol.shape[0] - 1), unit_sizes=[4],
               cold_iterations=1, cold_pm_iterations=1, warm_iterations=1)
     sync = StereoStream(params, **kw)
     pipe = StereoStream(params, **kw, pipelined=True)
@@ -122,3 +109,12 @@ def test_pipelined_stream_matches_sync():
     np.testing.assert_array_equal(outs_pipe[2], outs_sync[1])
     np.testing.assert_array_equal(pipe.flush(), outs_sync[2])
     assert pipe.flush() is None
+    # reset() drops both the warm-start state and the pending transfer,
+    # recovering the cold path (same executables — free to check here).
+    pipe.reset()
+    assert pipe._prev_labeling is None and pipe._pending_disp is None
+    d = pipe.process(img, img, vol, vol)
+    assert d is None          # pipelined first frame after reset
+    # The frame counter (and so the per-frame seed) keeps advancing across
+    # reset, so the result differs from frame 0 — just require a sane map.
+    assert np.isfinite(pipe.flush()).all()

@@ -64,18 +64,26 @@ def test_block_equals_slabs_nonoverlapping():
 
 
 def test_block_equals_slabs_min_disp():
-    ref, out = _case(s=3, r=4, nby=2, nbx=2, min_disp=-2.0, seed=7)
+    # Same (s, r, nby, nbx) as the overlapping case so the two tests share
+    # compiled executables in-process (1-core CI budget); only min_disp
+    # and the random values differ.
+    ref, out = _case(s=3, r=4, nby=4, nbx=5, min_disp=-2.0, seed=7)
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_block_equals_slabs_single_region_rowcol():
     ref, out = _case(s=3, r=4, nby=1, nbx=2, seed=5)
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_engine_backend_equivalence():
     """End-to-end: unary_backend="blk" reproduces the default solve
-    bit-exactly on a tiny volume problem (both sweeps + GC)."""
+    bit-exactly on a tiny volume problem (both sweeps + GC). Slow lane:
+    the default gate carries the raw-bitwise + filtered-tolerance +
+    routing-consistency contracts (tests/test_backend_consistency.py);
+    this full-engine double-compile is the weekly-cadence confirmation."""
     from localexpstereo_tpu.models.engine import LocalExpansionSolver
     rng = np.random.default_rng(3)
     h, w, nd = 36, 48, 8

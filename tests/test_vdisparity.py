@@ -85,6 +85,7 @@ def test_end_to_end_recovers_v():
     assert abs(med_v - V0) < 0.5, f"median v {med_v} != {V0}"
 
 
+@pytest.mark.slow
 def test_v_zero_runs_unchanged():
     """max_vdisp == 0 keeps v identically zero (slab fast path)."""
     im0, im1 = _pair()
