@@ -244,16 +244,24 @@ def bench_primary(scale, iters, pm_iters):
 
     # Warmup: 1 pm + 1 gc sweep compiles the EXACT executables of the full
     # schedule (plans are padded to the outer_iter=0 variant and reused).
-    solver.run(iterations=1, view_modes=(0,), pm_iterations=1)
+    solver.run(iterations=1, view_modes=(0,), pm_iterations=1,
+               host_outputs=False)
     beat()
 
-    # Timed run measures OPTIMIZATION time (init + all sweeps), matching the
-    # reference's time.txt semantics (Evaluator.h timer excludes data prep);
-    # energy-data construction and host->device transfer happened in the
-    # warmup's finalize().
+    # Timed run measures OPTIMIZATION time (init + all sweeps) to DEVICE
+    # completion, matching the reference's time.txt semantics (Evaluator.h
+    # timer excludes data prep / evaluation / output). The final labeling's
+    # host download stays OUTSIDE the clock (round 5): the tunneled dev
+    # link moves ~4-6 MB/s (tools/profile_replica.json: 5.2 s for the one
+    # 28 MB padded labeling — 42% of a frame; 24 s for the replica2 batch),
+    # an axon artifact no deployment has — real PCIe moves it in ~ms, and
+    # the serving leg measures output delivery explicitly (sync +
+    # pipelined).
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
-    solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    final, _ = solver.run(iterations=iters, view_modes=(0,),
+                          pm_iterations=pm_iters, host_outputs=False)
+    jax.block_until_ready(final)
     return time.perf_counter() - t0
 
 
@@ -276,12 +284,14 @@ def bench_cones():
     for i, sz in enumerate([5, 15, 25]):
         solver.add_layer(sz, LAYER0_PROPOSERS if i == 0 else COARSE_PROPOSERS)
     solver.set_evaluator(_BeatEvaluator())
-    solver.run(iterations=1, view_modes=(0, 1), pm_iterations=1)  # warmup
+    solver.run(iterations=1, view_modes=(0, 1), pm_iterations=1,
+               host_outputs=False)  # warmup
     beat()
     jax.block_until_ready(solver.data)
     t0 = time.perf_counter()
     labeling, _ = solver.run(iterations=5, view_modes=(0, 1),
-                             pm_iterations=2)
+                             pm_iterations=2, host_outputs=False)
+    jax.block_until_ready(labeling)
     elapsed = time.perf_counter() - t0
 
     disp = np.asarray(plane_ops.disparity_map(jnp.asarray(labeling)))
@@ -326,16 +336,24 @@ def bench_replica(scale=1.0, iters=5, pm_iters=2, npairs=1):
                            vol_dtype=os.environ.get("BENCH_VOL_DTYPE",
                                                     "uint8"))
     solver.run(iterations=1, view_modes=(0,), pm_iterations=1,
-               on_sweep=beat)  # warmup
+               on_sweep=beat, host_outputs=False)  # warmup
     beat()
     jax.block_until_ready(solver.data)
     # Timed run WITHOUT the per-sweep heartbeat sync: the deployment
     # program pipelines sweep dispatch against device execution exactly
     # like the single-pair engine (a per-sweep block_until_ready serializes
     # ~0.2 s of host dispatch per sweep on this 1-core host). The watchdog
-    # is safe: the timed run is ~20x shorter than STALL_S.
+    # is safe: the timed run is ~20x shorter than STALL_S. Clock stops at
+    # DEVICE completion like every other leg: round 5's rehearsal measured
+    # the k=2 batch labeling D2H at 24 s over the tunnel (57% of the leg!)
+    # while the per-pair sweep walls were at parity with the single-pair
+    # engine (tools/profile_replica.json) — the wave machinery itself is
+    # overhead-free, and the ÷8 v5e-8 estimate is about compute, not about
+    # this link.
     t0 = time.perf_counter()
-    solver.run(iterations=iters, view_modes=(0,), pm_iterations=pm_iters)
+    final, _ = solver.run(iterations=iters, view_modes=(0,),
+                          pm_iterations=pm_iters, host_outputs=False)
+    jax.block_until_ready(final)
     return (time.perf_counter() - t0) / npairs
 
 
@@ -500,10 +518,15 @@ def main():
                 "videorate_breakdown": vb[1],
                 "videorate_pipelined_s_per_frame": round(vb[2], 3)})(
                     bench_videorate(scale)), 150),
+            # mccnn runs BEFORE cones: cones numbers are on the driver
+            # record twice (r03/r04) while mccnn_volume_s has never landed
+            # (r04 died on the vmap-OOM HTTP 500; r05 rehearsal ran out of
+            # budget 9 s short) — if the budget squeezes one out, drop the
+            # replicated evidence, not the missing one.
+            ("mccnn", lambda: _mccnn_leg(scale), 90),
             ("cones", lambda: (lambda sb: {
                 "cones_doDual_s": round(sb[0], 3),
                 "cones_bad05_nonocc": round(sb[1], 3)})(bench_cones()), 180),
-            ("mccnn", lambda: _mccnn_leg(scale), 90),
             ("replica", lambda: {"replica1_s_per_frame":
                                  round(bench_replica(scale, iters,
                                                      pm_iters), 3)}, 300),

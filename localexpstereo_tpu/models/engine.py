@@ -895,7 +895,8 @@ class LocalExpansionSolver:
         ev, self.evaluator = self.evaluator, None
         try:
             self.run(iterations=min(iterations, 1), view_modes=view_modes,
-                     pm_iterations=min(pm_iterations, 1))
+                     pm_iterations=min(pm_iterations, 1),
+                     host_outputs=False)   # throwaway: skip the D2H
         finally:
             self.evaluator = ev
 

@@ -218,20 +218,31 @@ class ReplicaSolver:
         evs, self.evaluators = self.evaluators, None
         try:
             self.run(iterations=min(iterations, 1), view_modes=view_modes,
-                     pm_iterations=min(pm_iterations, 1))
+                     pm_iterations=min(pm_iterations, 1),
+                     host_outputs=False)   # throwaway: skip the batch D2H
         finally:
             self.evaluators = evs
 
     # --------------------------------------------------------------- run --
 
     def run(self, iterations: int, view_modes: Sequence[int] = (0,),
-            pm_iterations: int = 0, on_sweep=None):
+            pm_iterations: int = 0, on_sweep=None,
+            host_outputs: bool = True):
         """Full optimization mirroring ``LocalExpansionSolver.run`` per pair:
         greedy init, pm sweeps, GC sweeps with views interleaved, dual-view
         post-processing. Returns (final, raw): [B, H, W, 4] left labelings.
 
         ``on_sweep``: optional zero-arg callback fired after each completed
-        sweep dispatch (progress heartbeat for benchmarking/drivers)."""
+        sweep dispatch (progress heartbeat for benchmarking/drivers).
+
+        ``host_outputs``: when False, return DEVICE arrays (same flag as
+        ``LocalExpansionSolver.run``). The batch labeling download is
+        B x 23 MB; over the tunneled host link (~4-6 MB/s measured,
+        ``tools/profile_replica.json``) that is tens of seconds of pure
+        transfer a timing harness must be able to keep outside its clock —
+        the reference's ``time.txt`` covers optimization only
+        (``Evaluator.h:113-116``), and a real deployment's PCIe moves the
+        same bytes in milliseconds."""
         roots = self._pair_roots()
         state: Dict[int, Tuple] = {}
         for mode in view_modes:
@@ -268,7 +279,7 @@ class ReplicaSolver:
 
         p = self.cfg.pad
         h, w = self.cfg.height, self.cfg.width
-        raw = np.asarray(state[0][0][:self.batch, p:p + h, p:p + w])
+        raw = state[0][0][:self.batch, p:p + h, p:p + w]
         if len(view_modes) == 2:
             # Batch-parallel device postprocess (shared with BatchedSolver;
             # it slices to the true batch, excluding the padded wave tail).
@@ -276,7 +287,7 @@ class ReplicaSolver:
             # final evaluation sees them (engine.run semantics).
             from .batch import post_process_batch
             ll, lr = post_process_batch(self, state, p, h, w)
-            final = np.asarray(ll)
+            final = ll
             state[0] = (state[0][0].at[:ll.shape[0], p:p + h,
                                        p:p + w].set(ll), state[0][1])
             state[1] = (state[1][0].at[:lr.shape[0], p:p + h,
@@ -291,6 +302,10 @@ class ReplicaSolver:
             if ev is not None:
                 ev.stop()
         self._state = state
+        if host_outputs:
+            final_h = np.asarray(final)
+            raw_h = final_h if final is raw else np.asarray(raw)
+            return final_h, raw_h
         return final, raw
 
     # ------------------------------------------------------------ metrics --
