@@ -539,15 +539,20 @@ def main():
                 out.update(fn())
             except Exception as e:  # extras must never sink the primary
                 out[f"{name}_error"] = str(e)[:200]
-        # v5e-8 estimate: prefer the measured 2-wave amortized per-pair time
-        # (includes every per-wave overhead the ÷8 assumes away), else the
-        # 1-pair sharded program, else the primary leg.
-        if "replica2_s_per_frame" in out:
-            out["v5e8_throughput_s_per_frame_est"] = \
-                round(out["replica2_s_per_frame"] / 8.0, 3)
-        elif "replica1_s_per_frame" in out:
-            out["v5e8_throughput_s_per_frame_est"] = \
-                round(out["replica1_s_per_frame"] / 8.0, 3)
+            # v5e-8 estimate: prefer the measured 2-wave amortized per-pair
+            # time (includes every per-wave overhead the ÷8 assumes away),
+            # else the 1-pair sharded program, else the primary leg.
+            if "replica2_s_per_frame" in out:
+                out["v5e8_throughput_s_per_frame_est"] = \
+                    round(out["replica2_s_per_frame"] / 8.0, 3)
+            elif "replica1_s_per_frame" in out:
+                out["v5e8_throughput_s_per_frame_est"] = \
+                    round(out["replica1_s_per_frame"] / 8.0, 3)
+            # Re-emit the running record after EVERY leg: the driver keeps
+            # the last JSON line, so an external timeout mid-bench loses at
+            # most the leg in flight, not the ones already measured.
+            out["elapsed_s"] = round(time.time() - T0, 1)
+            _emit(out)
     out["elapsed_s"] = round(time.time() - T0, 1)
     _emit(out)
 
